@@ -1,0 +1,59 @@
+"""albatross_tpu — a TPU-native Gaussian-process inference framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the modelling capabilities of
+swift-nav/albatross (see SURVEY.md at the repo root): a composable
+covariance/mean-function DSL with parameter+prior handling, exact and sparse
+(FITC/PITC) Gaussian-process regression, fast leave-one-out/-group-out
+cross-validation, gradient-based and MCMC hyperparameter inference, RANSAC
+outlier rejection, and pytree checkpointing — built TPU-first: batched Gram
+assembly on the MXU, blocked Cholesky, mesh-sharded scaling via
+pjit/shard_map, and vmapped fold/walker parallelism.
+"""
+
+from . import core, kernels, models, ops
+from .core import (
+    FixedPrior,
+    GaussianPrior,
+    JointDistribution,
+    LogNormalPrior,
+    LogScaleUniformPrior,
+    MarginalDistribution,
+    NonNegativePrior,
+    Parameter,
+    PositiveGaussianPrior,
+    PositivePrior,
+    RegressionDataset,
+    UniformPrior,
+    UninformativePrior,
+    concatenate_datasets,
+)
+from .kernels import (
+    AngularDistance,
+    Constant,
+    EuclideanDistance,
+    Exponential,
+    IndependentNoise,
+    LinearMean,
+    Matern32,
+    Matern52,
+    MeanFunction,
+    Measurement,
+    Nugget,
+    Polynomial,
+    RadialDistance,
+    ScalingFunction,
+    ScalingTerm,
+    SquaredExponential,
+    ZeroMean,
+    as_measurement,
+    measurement_only,
+)
+from .models import (
+    FitModel,
+    GaussianProcess,
+    gp_from_covariance,
+    gp_from_covariance_and_mean,
+)
+
+__version__ = "0.1.0"
+__all__ = [k for k in dir() if not k.startswith("_")]

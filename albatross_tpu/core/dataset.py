@@ -1,0 +1,136 @@
+"""Regression dataset container.
+
+TPU-native re-design of ``RegressionDataset<FeatureType>``
+(/root/reference/include/albatross/src/core/dataset.hpp:25-189).
+
+Features are *structured arrays*: either a single ``jnp`` array with leading
+axis N (shape ``(N,)`` or ``(N, D)``) or any pytree whose leaves share a
+leading axis N ("struct of arrays").  This replaces the reference's
+``std::vector<FeatureType>`` — batch-level layout is what lets Gram
+construction hit the MXU instead of looping over scalar ``_call_impl`` calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .distributions import MarginalDistribution, concatenate_marginals
+
+Features = Any  # array or pytree-with-leading-axis
+
+
+def feature_count(features: Features) -> int:
+    """Leading-axis length shared by every leaf of the feature pytree."""
+    leaves = jax.tree_util.tree_leaves(features)
+    if not leaves:
+        raise ValueError("empty feature pytree")
+    n = leaves[0].shape[0]
+    for leaf in leaves[1:]:
+        if leaf.shape[0] != n:
+            raise ValueError("feature leaves disagree on leading axis")
+    return n
+
+
+def subset_features(features: Features, indices) -> Features:
+    indices = jnp.asarray(indices)
+    return jax.tree_util.tree_map(lambda leaf: leaf[indices], features)
+
+
+def concatenate_features(feature_list: Sequence[Features]) -> Features:
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *feature_list
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RegressionDataset:
+    """Features + target distribution + string metadata (dataset.hpp:25-80)."""
+
+    features: Features
+    targets: MarginalDistribution
+    metadata: Dict[str, str] = dataclasses.field(default_factory=dict)
+
+    def tree_flatten(self):
+        return (self.features, self.targets), tuple(sorted(self.metadata.items()))
+
+    @classmethod
+    def tree_unflatten(cls, metadata, children):
+        return cls(children[0], children[1], dict(metadata))
+
+    @classmethod
+    def create(
+        cls,
+        features: Features,
+        targets,
+        variance=None,
+        metadata: Optional[Dict[str, str]] = None,
+    ) -> "RegressionDataset":
+        """Build from raw arrays; ``targets`` may be a mean vector."""
+        features = jax.tree_util.tree_map(jnp.asarray, features)
+        if not isinstance(targets, MarginalDistribution):
+            targets = MarginalDistribution.create(targets, variance)
+        n = feature_count(features)
+        if targets.size != n:
+            raise ValueError(
+                f"features ({n}) and targets ({targets.size}) disagree"
+            )
+        return cls(features, targets, metadata or {})
+
+    @property
+    def size(self) -> int:
+        return feature_count(self.features)
+
+    def __len__(self) -> int:
+        return self.size
+
+    def subset(self, indices) -> "RegressionDataset":
+        return RegressionDataset(
+            subset_features(self.features, indices),
+            self.targets.subset(indices),
+            dict(self.metadata),
+        )
+
+    def __getitem__(self, indices) -> "RegressionDataset":
+        return self.subset(jnp.atleast_1d(jnp.asarray(indices)))
+
+    def with_metadata(self, **kwargs: str) -> "RegressionDataset":
+        md = dict(self.metadata)
+        md.update(kwargs)
+        return RegressionDataset(self.features, self.targets, md)
+
+    def __repr__(self):
+        return f"RegressionDataset(n={self.size})"
+
+
+def concatenate_datasets(
+    datasets: Sequence[RegressionDataset],
+) -> RegressionDataset:
+    """Concatenate along the example axis (dataset.hpp concatenation).
+
+    Unlike the reference there is no type promotion to variants — mixed
+    feature *kinds* are expressed up front as tagged feature pytrees.
+    """
+    features = concatenate_features([d.features for d in datasets])
+    targets = concatenate_marginals([d.targets for d in datasets])
+    metadata: Dict[str, str] = {}
+    for d in datasets:
+        metadata.update(d.metadata)
+    return RegressionDataset(features, targets, metadata)
+
+
+def align_datasets(
+    a: RegressionDataset, b: RegressionDataset, key_fn
+) -> tuple[RegressionDataset, RegressionDataset]:
+    """Restrict both datasets to features whose keys appear in both
+    (dataset.hpp:132-160).  ``key_fn(features) -> array of keys``."""
+    ka = jax.device_get(key_fn(a.features))
+    kb = jax.device_get(key_fn(b.features))
+    common = sorted(set(ka.tolist()) & set(kb.tolist()))
+    ia = [int(list(ka).index(k)) for k in common]
+    ib = [int(list(kb).index(k)) for k in common]
+    return a.subset(jnp.asarray(ia)), b.subset(jnp.asarray(ib))

@@ -1,0 +1,210 @@
+"""Block-structured solvers.
+
+TPU-native re-design of
+/root/reference/include/albatross/src/linalg/block_diagonal.hpp:24-313 and
+block_symmetric.hpp:36-120.
+
+``BlockDiagonal`` stacks its blocks into one (G, b, b) tensor (identity-padded
+to a shared size) so factorization and solves are *batched* Cholesky /
+triangular-solve calls — XLA turns these into parallel MXU work, replacing
+the reference's per-block ThreadPool loop.  ``BlockSymmetric`` implements the
+Schur-complement 2×2 solve used by incremental GP updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+def pad_blocks(blocks: Sequence[jnp.ndarray]):
+    """Stack ragged SPD blocks into (G, b_max, b_max), identity-padding."""
+    sizes = [b.shape[0] for b in blocks]
+    b_max = max(sizes)
+    padded = []
+    for b in blocks:
+        k = b.shape[0]
+        if k < b_max:
+            eye_pad = jnp.eye(b_max, dtype=b.dtype)
+            eye_pad = eye_pad.at[:k, :k].set(b)
+            padded.append(eye_pad)
+        else:
+            padded.append(b)
+    return jnp.stack(padded), jnp.asarray(sizes)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BlockDiagonal:
+    """Block-diagonal matrix as a stacked tensor (block_diagonal.hpp:24-120)."""
+
+    blocks: jax.Array  # (G, b, b), identity-padded
+    sizes: jax.Array  # (G,) true block sizes
+
+    def tree_flatten(self):
+        return (self.blocks, self.sizes), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+    @classmethod
+    def from_blocks(cls, blocks: Sequence[jnp.ndarray]) -> "BlockDiagonal":
+        stacked, sizes = pad_blocks(blocks)
+        return cls(stacked, sizes)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def rows(self) -> int:
+        return int(jnp.sum(self.sizes))
+
+    def _mask(self):
+        b = self.blocks.shape[1]
+        idx = jnp.arange(b)
+        return idx[None, :] < self.sizes[:, None]  # (G, b)
+
+    def to_dense(self) -> jnp.ndarray:
+        n = self.rows
+        out = jnp.zeros((n, n), dtype=self.blocks.dtype)
+        offset = 0
+        sizes = jax.device_get(self.sizes)
+        for g in range(self.num_blocks):
+            k = int(sizes[g])
+            out = out.at[offset : offset + k, offset : offset + k].set(
+                self.blocks[g, :k, :k]
+            )
+            offset += k
+        return out
+
+    def factorize(self) -> "BlockDiagonalCholesky":
+        return BlockDiagonalCholesky(
+            jnp.linalg.cholesky(self.blocks), self.sizes
+        )
+
+
+def _split_pad(rhs, sizes, b):
+    """Split a dense (n, m) rhs into padded (G, b, m) chunks."""
+    chunks = []
+    offset = 0
+    for k in [int(s) for s in jax.device_get(sizes)]:
+        chunk = rhs[offset : offset + k]
+        if k < b:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((b - k,) + chunk.shape[1:], chunk.dtype)]
+            )
+        chunks.append(chunk)
+        offset += k
+    return jnp.stack(chunks)
+
+
+def _unsplit(chunks, sizes):
+    parts = []
+    for g, k in enumerate(int(s) for s in jax.device_get(sizes)):
+        parts.append(chunks[g, :k])
+    return jnp.concatenate(parts, axis=0)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BlockDiagonalCholesky:
+    """Batched per-block Cholesky (block_diagonal.hpp:122-313)."""
+
+    L: jax.Array  # (G, b, b) with identity padding
+    sizes: jax.Array
+
+    def tree_flatten(self):
+        return (self.L, self.sizes), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+    @property
+    def rows(self) -> int:
+        return int(jnp.sum(self.sizes))
+
+    def _batched_solve(self, rhs, transpose: bool):
+        b = self.L.shape[1]
+        chunks = _split_pad(rhs if rhs.ndim > 1 else rhs[:, None], self.sizes, b)
+        if transpose:
+            out = jax.vmap(
+                lambda Lg, rg: solve_triangular(Lg.T, rg, lower=False)
+            )(self.L, chunks)
+        else:
+            out = jax.vmap(lambda Lg, rg: solve_triangular(Lg, rg, lower=True))(
+                self.L, chunks
+            )
+        dense = _unsplit(out, self.sizes)
+        return dense if rhs.ndim > 1 else dense[:, 0]
+
+    def sqrt_solve(self, rhs):
+        """L⁻¹ rhs blockwise."""
+        return self._batched_solve(rhs, transpose=False)
+
+    def sqrt_transpose_solve(self, rhs):
+        return self._batched_solve(rhs, transpose=True)
+
+    def solve(self, rhs):
+        return self.sqrt_transpose_solve(self.sqrt_solve(rhs))
+
+    def log_determinant(self):
+        mask = (
+            jnp.arange(self.L.shape[1])[None, :]
+            < self.sizes[:, None]
+        )
+        diags = jnp.diagonal(self.L, axis1=1, axis2=2)
+        return 2.0 * jnp.sum(jnp.where(mask, jnp.log(diags), 0.0))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BlockSymmetric:
+    """2×2 symmetric block solve via Schur complement
+    (block_symmetric.hpp:36-120).
+
+    Represents M = [A  B; Bᵀ C] through A's factorization, Ai_B = A⁻¹B and
+    the factorized Schur complement S = C − BᵀA⁻¹B — the machinery behind
+    incremental GP updates (grow the training covariance without
+    refactorizing the old block).
+    """
+
+    A: Any  # any object with .solve / .log_determinant (CholeskyFactor, ...)
+    Ai_B: jax.Array
+    S: Any  # factorization of the Schur complement
+
+    def tree_flatten(self):
+        return (self.A, self.Ai_B, self.S), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+    @property
+    def rows(self) -> int:
+        return self.Ai_B.shape[0] + self.Ai_B.shape[1]
+
+    def solve(self, rhs):
+        rhs2d = rhs if rhs.ndim > 1 else rhs[:, None]
+        n_a = self.Ai_B.shape[0]
+        x, y = rhs2d[:n_a], rhs2d[n_a:]
+        v = self.S.solve(y - self.Ai_B.T @ x)
+        u = self.A.solve(x) - self.Ai_B @ v
+        out = jnp.concatenate([u, v], axis=0)
+        return out if rhs.ndim > 1 else out[:, 0]
+
+    def log_determinant(self):
+        return self.A.log_determinant() + self.S.log_determinant()
+
+
+def build_block_symmetric(A, B: jnp.ndarray, S_chol) -> BlockSymmetric:
+    """Assemble from A's factorization, the cross block B, and the already-
+    factorized Schur complement (gp.hpp:384-414 passes S = predicted joint
+    covariance + new target variance, which *is* C − BᵀA⁻¹B)."""
+    return BlockSymmetric(A, A.solve(B), S_chol)
