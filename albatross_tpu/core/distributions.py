@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 
 def _as_array(x):
-    return jnp.asarray(x, dtype=jnp.result_type(x, float))
+    x = jnp.asarray(x)
+    return x.astype(jnp.result_type(x, float))
 
 
 @jax.tree_util.register_pytree_node_class

@@ -224,19 +224,20 @@ class GaussianProcess(ModelBase):
 
     # -- fast cross-validation (gp.hpp:465-504) ------------------------------
     def cross_validated_predictions(
-        self, dataset: RegressionDataset, group_indices, predict_type
+        self, dataset: RegressionDataset, indexers, predict_type
     ):
+        """Fast LOO/LOGO: fit once, then per-group held-out predictions from
+        inverse blocks (gp.hpp:465-482).  The raw target mean is passed —
+        the information vector already accounts for the mean function."""
         from ..evaluation.cross_validation_utils import held_out_predictions
 
         fit_model = self.fit(dataset)
         return held_out_predictions(
             fit_model.fit.train_covariance,
-            dataset.targets.mean
-            - self.mean_function(as_measurement(dataset.features)),
+            dataset.targets.mean,
             fit_model.fit.information,
-            group_indices,
+            indexers,
             predict_type,
-            mean_shift=self.mean_function(as_measurement(dataset.features)),
         )
 
 

@@ -1,0 +1,310 @@
+"""Evaluation-layer tests: fast LOO/LOGO vs brute force, metrics goldens
+(reference: tests/test_cross_validation.cc, test_chi_squared_versus_gsl.cc,
+ test_prediction_metrics.cc)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from albatross_tpu import (
+    GaussianProcess,
+    IndependentNoise,
+    JointDistribution,
+    MarginalDistribution,
+    RegressionDataset,
+    SquaredExponential,
+    gp_from_covariance,
+    measurement_only,
+)
+from albatross_tpu.evaluation import (
+    ChiSquaredCdf,
+    Crps,
+    LeaveOneOutLikelihood,
+    LeaveOneOutRMSE,
+    NegativeLogLikelihood,
+    RootMeanSquareError,
+    crps_normal,
+    differential_entropy,
+    energy_score,
+    leave_one_out_conditional,
+    predict_fold,
+    variogram_score,
+    wasserstein_2,
+)
+from albatross_tpu.evaluation.folds import folds_from_grouper
+from albatross_tpu.indexing import (
+    Grouped,
+    KFoldGrouper,
+    LeaveOneOutGrouper,
+    group_by,
+)
+from albatross_tpu.stats import chi_squared_cdf_value
+
+
+def toy_dataset(rng, n=20):
+    x = np.sort(rng.uniform(0.0, 10.0, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    return RegressionDataset.create(
+        jnp.asarray(x), jnp.asarray(y), variance=jnp.full((n,), 0.01)
+    )
+
+
+def toy_model():
+    return gp_from_covariance(
+        SquaredExponential(1.5, 1.0) + measurement_only(IndependentNoise(0.2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping
+# ---------------------------------------------------------------------------
+def test_group_by_basics():
+    X = jnp.asarray([0.0, 1.0, 2.0, 3.0, 4.0])
+    gb = group_by(X, KFoldGrouper(2))
+    idx = gb.indexers()
+    assert idx.keys() == [0, 1]
+    np.testing.assert_array_equal(idx[0], [0, 2, 4])
+    np.testing.assert_array_equal(idx[1], [1, 3])
+    assert gb.counts().get_map() == {0: 3, 1: 2}
+
+
+def test_grouped_apply_combine(rng):
+    data = toy_dataset(rng, 10)
+    gb = group_by(data, KFoldGrouper(2))
+    groups = gb.groups()
+    assert groups[0].size == 5
+    recombined = groups.combine()
+    assert recombined.size == 10
+    sums = gb.apply(lambda d: float(jnp.sum(d.targets.mean)))
+    assert sums.sum() == pytest.approx(float(jnp.sum(data.targets.mean)))
+
+
+# ---------------------------------------------------------------------------
+# fast CV vs brute force — the key numerical equivalence
+# ---------------------------------------------------------------------------
+def brute_force_conditional(data, model, test_idx):
+    """Dense conditioning of the observed values: the fast-CV ground truth
+    (reference test_cross_validation.cc:202-263 conditions a
+    ConditionalGaussian on the complement indices)."""
+    prior = model.prior(data.features)
+    K = np.asarray(prior.covariance) + np.diag(
+        np.asarray(data.targets.get_variance())
+    )
+    y = np.asarray(data.targets.mean) - np.asarray(prior.mean)
+    n = K.shape[0]
+    train_idx = np.setdiff1d(np.arange(n), test_idx)
+    Ktt = K[np.ix_(train_idx, train_idx)]
+    Kst = K[np.ix_(test_idx, train_idx)]
+    Kss = K[np.ix_(test_idx, test_idx)]
+    solve = np.linalg.solve(Ktt, y[train_idx])
+    mean = np.asarray(prior.mean)[test_idx] + Kst @ solve
+    cov = Kss - Kst @ np.linalg.solve(Ktt, Kst.T)
+    return mean, cov
+
+
+def test_fast_loo_matches_brute_force(rng):
+    data = toy_dataset(rng, 15)
+    model = toy_model()
+    cv = model.cross_validate()
+    fast = cv.predict(data, LeaveOneOutGrouper()).marginals()
+
+    for i in range(15):
+        mean, cov = brute_force_conditional(data, model, np.asarray([i]))
+        np.testing.assert_allclose(
+            np.asarray(fast[i].mean), mean, rtol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast[i].variance), np.diagonal(cov), rtol=1e-6
+        )
+
+    # fast means still agree with per-fold refit means (latent mean ==
+    # observed conditional mean)
+    folds = folds_from_grouper(data, LeaveOneOutGrouper())
+    for key, fold in folds.items():
+        brute = predict_fold(model, fold).mean()
+        np.testing.assert_allclose(
+            np.asarray(fast[key].mean), np.asarray(brute), rtol=1e-7
+        )
+
+
+def test_fast_logo_matches_brute_force(rng):
+    data = toy_dataset(rng, 16)
+    model = toy_model()
+    cv = model.cross_validate()
+    fast = cv.predict(data, KFoldGrouper(4)).joints()
+
+    for key in range(4):
+        test_idx = np.arange(16)[np.arange(16) % 4 == key]
+        mean, cov = brute_force_conditional(data, model, test_idx)
+        np.testing.assert_allclose(
+            np.asarray(fast[key].mean), mean, rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast[key].covariance), cov, rtol=1e-5, atol=1e-10
+        )
+
+
+def test_cv_marginal_scatters_to_dataset_order(rng):
+    data = toy_dataset(rng, 12)
+    model = toy_model()
+    pred = model.cross_validate().predict(data, KFoldGrouper(3))
+    marginal = pred.marginal()
+    fast = pred.marginals()
+    # fold 0 holds indices 0,3,6,9 — check scatter ordering
+    np.testing.assert_allclose(
+        np.asarray(marginal.mean)[np.asarray([0, 3, 6, 9])],
+        np.asarray(fast[0].mean),
+        rtol=1e-10,
+    )
+
+
+def test_scores_and_model_metrics(rng):
+    data = toy_dataset(rng, 15)
+    model = toy_model()
+    scores = model.cross_validate().scores(
+        RootMeanSquareError(), data, KFoldGrouper(3)
+    )
+    assert scores.shape == (3,)
+    assert np.all(np.asarray(scores) > 0)
+
+    loo_nll = LeaveOneOutLikelihood()(data, model)
+    assert np.isfinite(float(loo_nll))
+    loo_rmse = LeaveOneOutRMSE()(data, model)
+    assert 0 < float(loo_rmse) < 1.0
+
+
+def test_loo_conditional_equals_fast_loo(rng):
+    """leave_one_out_conditional == the GP LOO path when the prior is the
+    train covariance (reference test_cross_validation.cc:202+)."""
+    data = toy_dataset(rng, 10)
+    model = toy_model()
+    prior = model.prior(data.features)
+    # remove target variance from truth side; add it via truth distribution
+    loo = leave_one_out_conditional(prior, data.targets)
+
+    fast = (
+        model.cross_validate()
+        .predict(data, LeaveOneOutGrouper())
+        .marginals()
+    )
+    for i in range(10):
+        np.testing.assert_allclose(
+            float(loo.mean[i]), float(fast[i].mean[0]), rtol=1e-7
+        )
+        np.testing.assert_allclose(
+            float(loo.variance[i]), float(fast[i].variance[0]), rtol=1e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+def test_chi_squared_cdf_gsl_goldens():
+    # (x, dof, cdf) spot checks vs GSL
+    # (reference tests/test_chi_squared_versus_gsl.cc)
+    goldens = [
+        (16.0932496615, 1, 0.999939701413),
+        (7.88240799748, 1, 0.995008202997),
+        (6.97851947191, 2, 0.969476540771),
+        (7.05753753315, 3, 0.929913707735),
+        (5.88399851961, 4, 0.79201955931),
+        (4.29132368224, 5, 0.491720951133),
+        (2.32, 6, 0.111956346796),
+    ]
+    for x, dof, expected in goldens:
+        assert float(chi_squared_cdf_value(x, dof)) == pytest.approx(
+            expected, abs=1e-8
+        )
+
+
+def test_nll_metrics(rng):
+    pred_m = MarginalDistribution.create([1.0, 2.0], [0.5, 0.5])
+    truth = MarginalDistribution.create([1.1, 1.9], [0.0, 0.0])
+    nll_m = NegativeLogLikelihood(MarginalDistribution)(pred_m, truth)
+    expected = 0.5 * sum(
+        np.log(0.5) + d**2 / 0.5 + np.log(2 * np.pi) for d in (0.1, -0.1)
+    )
+    assert float(nll_m) == pytest.approx(expected, rel=1e-9)
+
+    pred_j = JointDistribution.create([1.0, 2.0], 0.5 * np.eye(2))
+    nll_j = NegativeLogLikelihood(JointDistribution)(pred_j, truth)
+    assert float(nll_j) == pytest.approx(expected, rel=1e-9)
+
+
+def test_crps_closed_form_vs_monte_carlo(rng):
+    mu, sigma, y = 0.3, 1.2, -0.5
+    closed = float(crps_normal(mu, sigma, y))
+    samples = rng.normal(mu, sigma, 200_000)
+    samples2 = rng.normal(mu, sigma, 200_000)
+    mc = np.mean(np.abs(samples - y)) - 0.5 * np.mean(np.abs(samples - samples2))
+    assert closed == pytest.approx(mc, abs=5e-3)
+    # degenerate sigma -> absolute error
+    assert float(crps_normal(1.0, 0.0, 3.0)) == pytest.approx(2.0)
+
+
+def test_crps_metric(rng):
+    pred = MarginalDistribution.create([0.0, 1.0], [1.0, 1.0])
+    truth = MarginalDistribution.create([0.0, 1.0], [0.0, 0.0])
+    val = float(Crps()(pred, truth))
+    # CRPS of N(0,1) at its mean: sigma*(2*phi(0) - 1/sqrt(pi))
+    expected = 2.0 / np.sqrt(2 * np.pi) - 1.0 / np.sqrt(np.pi)
+    assert val == pytest.approx(expected, rel=1e-9)
+
+
+def test_energy_score_properties():
+    mean = jnp.asarray([0.0, 0.0])
+    cov = jnp.eye(2)
+    good = JointDistribution(mean, cov)
+    truth = jnp.asarray([0.0, 0.0])
+    far_truth = jnp.asarray([5.0, 5.0])
+    es_good = float(energy_score(good, truth))
+    es_bad = float(energy_score(good, far_truth))
+    assert 0 <= es_good < es_bad
+
+
+def test_variogram_score():
+    mean = jnp.asarray([0.0, 1.0, 2.0])
+    cov = 0.1 * jnp.eye(3)
+    pred = JointDistribution(mean, cov)
+    vs_close = float(variogram_score(pred, mean))
+    # NB: variogram score only sees pairwise differences, so a reversed truth
+    # scores identically; use truth with different pairwise gaps.
+    vs_far = float(variogram_score(pred, jnp.asarray([0.0, 5.0, 0.0])))
+    assert vs_close < vs_far
+    # p=2 closed form
+    assert np.isfinite(float(variogram_score(pred, mean, p=2.0)))
+
+
+def test_wasserstein_2():
+    a = JointDistribution.create([0.0, 0.0], np.eye(2))
+    assert float(wasserstein_2(a, a)) == pytest.approx(0.0, abs=1e-9)
+    b = JointDistribution.create([1.0, 0.0], np.eye(2))
+    assert float(wasserstein_2(a, b)) == pytest.approx(1.0, rel=1e-6)
+    c = JointDistribution.create([0.0, 0.0], 4.0 * np.eye(2))
+    # Bures between N(0,I) and N(0,4I): trace(I + 4I - 2*2I) = 2 per dim
+    assert float(wasserstein_2(a, c)) == pytest.approx(2.0, rel=1e-6)
+
+
+def test_differential_entropy():
+    h = float(differential_entropy(np.eye(3)))
+    expected = 1.5 * np.log(2 * np.pi * np.e)
+    assert h == pytest.approx(expected, rel=1e-10)
+    h_diag = float(differential_entropy(jnp.asarray([1.0, 1.0, 1.0])))
+    assert h_diag == pytest.approx(expected, rel=1e-10)
+
+
+def test_ragged_group_cv(rng):
+    """Groups of unequal size exercise the ragged fallback path."""
+    data = toy_dataset(rng, 11)
+
+    def grouper(features):
+        return (np.asarray(features) > 5.0).astype(int)
+
+    model = toy_model()
+    fast = model.cross_validate().predict(data, grouper).marginals()
+    folds = folds_from_grouper(data, grouper)
+    for key, fold in folds.items():
+        brute = predict_fold(model, fold).marginal()
+        np.testing.assert_allclose(
+            np.asarray(fast[key].mean), np.asarray(brute.mean), rtol=1e-6
+        )
