@@ -1,0 +1,11 @@
+from .finite_difference import compute_gradient
+from .greedy import greedy_tune
+from .tune import (
+    GenericTuner,
+    ModelTuner,
+    TuningResult,
+    get_tuner,
+    mean_aggregator,
+)
+
+__all__ = [k for k in dir() if not k.startswith("_")]

@@ -1,0 +1,176 @@
+"""Tuning and sampler tests (reference: tests/test_tune.cc,
+test_samplers.cc): MLE recovery of known hyperparameters, sampler posterior
+sanity, greedy tuner improvement."""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from albatross_tpu import (
+    IndependentNoise,
+    RegressionDataset,
+    SquaredExponential,
+    gp_from_covariance,
+    measurement_only,
+)
+from albatross_tpu.core import FixedPrior, LogScaleUniformPrior, UniformPrior
+from albatross_tpu.evaluation import GaussianProcessNegativeLogLikelihood
+from albatross_tpu.samplers import (
+    CsvWritingCallback,
+    MaximumLikelihoodTrackingCallback,
+    ensemble_sampler_from_model,
+)
+from albatross_tpu.tuning import compute_gradient, get_tuner, greedy_tune
+
+
+def make_data(rng, n=40, ls=2.0, sigma=1.5, noise=0.1):
+    """Draw from a GP with known hyperparameters."""
+    x = np.sort(rng.uniform(0.0, 20.0, n))
+    K = sigma**2 * np.exp(-(((x[:, None] - x[None, :]) / ls) ** 2))
+    K += noise**2 * np.eye(n)
+    L = np.linalg.cholesky(K + 1e-12 * np.eye(n))
+    y = L @ rng.standard_normal(n)
+    return RegressionDataset.create(jnp.asarray(x), jnp.asarray(y))
+
+
+def make_model(ls=1.0, sigma=1.0, noise=0.1):
+    kernel = SquaredExponential(ls, sigma) + measurement_only(
+        IndependentNoise(noise)
+    )
+    kernel = kernel.set_param_prior(
+        "squared_exponential_length_scale", LogScaleUniformPrior(1e-2, 1e3)
+    ).set_param_prior(
+        "sigma_squared_exponential", LogScaleUniformPrior(1e-2, 1e3)
+    ).set_param_prior(
+        "sigma_independent_noise", FixedPrior()
+    )
+    return gp_from_covariance(kernel)
+
+
+def test_gradient_tuner_improves_nlml(rng):
+    data = make_data(rng)
+    model = make_model(ls=0.5, sigma=0.5)
+    metric = GaussianProcessNegativeLogLikelihood()
+    before = float(metric(data, model))
+
+    tuner = get_tuner(model, metric, data, optimizer="adam", max_iterations=150)
+    tuned_model, result = tuner.tuned_model()
+    after = float(metric(data, tuned_model))
+    assert after < before - 1.0
+
+    # recovered length scale should be in the right ballpark (data has ls=2)
+    ls = float(
+        tuned_model.get_params()["squared_exponential_length_scale"].value
+    )
+    assert 0.8 < ls < 6.0
+    # fixed param untouched
+    assert float(
+        tuned_model.get_params()["sigma_independent_noise"].value
+    ) == pytest.approx(0.1)
+
+
+def test_lbfgs_tuner(rng):
+    data = make_data(rng, n=30)
+    model = make_model(ls=0.7, sigma=0.7)
+    metric = GaussianProcessNegativeLogLikelihood()
+    before = float(metric(data, model))
+    tuner = get_tuner(model, metric, data, optimizer="lbfgs", max_iterations=80)
+    tuned_model, result = tuner.tuned_model()
+    assert result.value < before
+
+
+def test_nelder_mead_tuner(rng):
+    data = make_data(rng, n=25)
+    model = make_model(ls=0.7, sigma=0.7)
+    metric = GaussianProcessNegativeLogLikelihood()
+    before = float(metric(data, model))
+    tuner = get_tuner(
+        model, metric, data, optimizer="nelder_mead", max_iterations=120
+    )
+    tuned_model, result = tuner.tuned_model()
+    assert result.value < before
+
+
+def test_greedy_tuner(rng):
+    data = make_data(rng, n=25)
+    model = make_model(ls=0.2, sigma=0.3)
+    metric = GaussianProcessNegativeLogLikelihood()
+
+    def objective(m):
+        return metric(data, m)
+
+    before = float(objective(model))
+    best_model, best_value = greedy_tune(model, objective, n_candidates=7)
+    assert best_value < before
+
+
+def test_finite_difference_matches_autodiff(rng):
+    data = make_data(rng, n=20)
+    model = make_model()
+    metric = GaussianProcessNegativeLogLikelihood()
+    tunable = model.get_tunable_parameters()
+
+    from albatross_tpu.core.parameters import set_tunable_params
+
+    def objective(x):
+        m = model.set_params(
+            set_tunable_params(model.get_params(), jnp.asarray(x))
+        )
+        return metric(data, m)
+
+    x0 = np.asarray(tunable.values)
+    fd = compute_gradient(
+        lambda x: float(objective(x)),
+        x0,
+        np.asarray(tunable.lower_bounds),
+        np.asarray(tunable.upper_bounds),
+    )
+    exact = np.asarray(jax.grad(lambda x: objective(x))(jnp.asarray(x0)))
+    np.testing.assert_allclose(fd, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_ensemble_sampler_posterior(rng):
+    data = make_data(rng, n=25)
+    model = make_model(ls=2.0, sigma=1.5)
+    chain = ensemble_sampler_from_model(
+        model, data, n_walkers=12, max_iterations=60, key=5
+    )
+    assert chain.params.shape == (61, 12, 2)
+    # some but not all proposals accepted
+    rate = chain.acceptance_rate()
+    assert 0.05 < rate < 0.95
+    # log probs improve or stay reasonable
+    assert np.median(chain.log_prob[-1]) >= np.median(chain.log_prob[0]) - 5.0
+    # posterior over log-lengthscale should cover the truth log(2)
+    samples = chain.flat_samples(burn_in=30)
+    names = sorted(
+        n for n, p in model.get_params().items() if not p.is_fixed
+    )
+    ls_idx = names.index("squared_exponential_length_scale")
+    ls_samples = np.exp(samples[:, ls_idx])
+    assert np.quantile(ls_samples, 0.05) < 2.0 < np.quantile(ls_samples, 0.95)
+
+
+def test_sampler_callbacks(rng):
+    data = make_data(rng, n=15)
+    model = make_model()
+    tracker = MaximumLikelihoodTrackingCallback()
+    stream = io.StringIO()
+    names = [n for n in sorted(model.get_params()) if not model.get_params()[n].is_fixed]
+    csv_cb = CsvWritingCallback(stream, names)
+
+    def both(i, state):
+        tracker(i, state)
+        csv_cb(i, state)
+
+    chain = ensemble_sampler_from_model(
+        model, data, n_walkers=8, max_iterations=10, key=3, callback=both
+    )
+    assert tracker.best_params is not None
+    assert np.isfinite(tracker.best_log_prob)
+    lines = stream.getvalue().strip().split("\n")
+    assert len(lines) == 1 + 11 * 8  # header + iterations * walkers
+    assert lines[0].startswith("iteration,ensemble_index,log_probability")
