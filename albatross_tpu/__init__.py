@@ -49,10 +49,24 @@ from .kernels import (
     measurement_only,
 )
 from .models import (
+    ConditionalGaussian,
+    DefaultGPRansacStrategy,
+    DefaultRansacStrategy,
     FitModel,
     GaussianProcess,
+    LeastSquares,
+    LinearRegression,
+    NullModel,
+    Ransac,
+    RansacConfig,
+    SparseGaussianProcessRegression,
+    StateSpaceInducingPointStrategy,
+    UniformlySpacedInducingPoints,
     gp_from_covariance,
     gp_from_covariance_and_mean,
+    rebase_inducing_points,
+    sparse_gp_from_covariance,
+    sparse_gp_from_covariance_and_mean,
 )
 
 __version__ = "0.1.0"

@@ -1,4 +1,34 @@
 from .base import FitModel, ModelBase, Prediction
+from .conditional import ConditionalFit, ConditionalGaussian
+from .least_squares import LeastSquares, LeastSquaresFit, LinearRegression
+from .null import NullModel
+from .ransac import (
+    ChiSquaredConsensusMetric,
+    ChiSquaredIsValidCandidateMetric,
+    DefaultGPRansacStrategy,
+    DefaultRansacStrategy,
+    DifferentialEntropyConsensusMetric,
+    FeatureCountConsensusMetric,
+    GaussianProcessRansacStrategy,
+    GenericRansacStrategy,
+    Ransac,
+    RansacConfig,
+    RansacOutput,
+    RansacReturnCode,
+    gp_ransac_strategy,
+    ransac,
+    ransac_success,
+)
+from .sparse_gp import (
+    EveryPointGrouper,
+    SparseGaussianProcessRegression,
+    SparseGPFit,
+    StateSpaceInducingPointStrategy,
+    UniformlySpacedInducingPoints,
+    rebase_inducing_points,
+    sparse_gp_from_covariance,
+    sparse_gp_from_covariance_and_mean,
+)
 from .gp import (
     GaussianProcess,
     GPFit,

@@ -1,0 +1,372 @@
+"""RANSAC outlier rejection as a meta-model.
+
+TPU-native re-design of
+/root/reference/include/albatross/src/models/ransac.hpp:23-526 and
+ransac_gp.hpp:21-200.
+
+The control loop (sample → validate → fit → score → consensus) is inherently
+sequential host logic and stays in Python; all the *work* inside it — the
+candidate fits and per-group inlier metrics — runs through jitted model code.
+The GP strategy precomputes one ConditionalGaussian prior so every candidate
+fit is a small dense conditioning instead of a full refit
+(ransac_gp.hpp:117-180).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..core.dataset import RegressionDataset
+from ..core.distributions import JointDistribution, MarginalDistribution
+from ..evaluation.entropy import differential_entropy
+from ..evaluation.metrics import NegativeLogLikelihood
+from ..evaluation.model_metrics import LeaveOneOutLikelihood
+from ..indexing.grouping import (
+    Grouped,
+    LeaveOneOutGrouper,
+    group_by,
+    indices_from_groups,
+)
+from ..stats.chi_squared import chi_squared_cdf
+from .base import FitModel, ModelBase
+from .conditional import ConditionalGaussian
+
+DEFAULT_CHI_SQUARED_THRESHOLD = 0.999
+
+
+class RansacReturnCode(enum.IntEnum):
+    """(ransac.hpp:59-87)"""
+
+    INVALID = -1
+    SUCCESS = 0
+    NO_CONSENSUS = 1
+    INVALID_ARGUMENTS = 2
+    EXCEEDED_MAX_FAILED_CANDIDATES = 3
+    FAILURE = 4
+
+
+def ransac_success(return_code: RansacReturnCode) -> bool:
+    return return_code == RansacReturnCode.SUCCESS
+
+
+@dataclasses.dataclass
+class RansacConfig:
+    """(ransac.hpp:134-152)"""
+
+    inlier_threshold: float = float("nan")
+    random_sample_size: int = 0
+    min_consensus_size: int = 0
+    max_iterations: int = 0
+    max_failed_candidates: int = 0
+
+
+@dataclasses.dataclass
+class RansacIteration:
+    """Audit trail for one iteration (ransac.hpp:89-118)."""
+
+    candidates: List = dataclasses.field(default_factory=list)
+    inliers: Dict = dataclasses.field(default_factory=dict)
+    outliers: Dict = dataclasses.field(default_factory=dict)
+    consensus_metric_value: float = float("nan")
+
+    def consensus(self) -> List:
+        return list(self.candidates) + list(self.inliers.keys())
+
+
+@dataclasses.dataclass
+class RansacOutput:
+    """(ransac.hpp:120-132)"""
+
+    return_code: RansacReturnCode = RansacReturnCode.INVALID
+    best: RansacIteration = dataclasses.field(default_factory=RansacIteration)
+    iterations: List[RansacIteration] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class RansacFunctions:
+    """fitter/inlier/consensus/validity callbacks (ransac.hpp:23-52)."""
+
+    fitter: Callable  # groups -> fit
+    inlier_metric: Callable  # (group, fit) -> float
+    consensus_metric: Callable  # groups -> float (lower better)
+    is_valid_candidate: Callable = lambda groups: True
+
+
+def random_without_replacement(values: List, k: int, rng) -> List:
+    idx = rng.choice(len(values), size=k, replace=False)
+    return [values[int(i)] for i in sorted(idx)]
+
+
+def ransac(
+    functions: RansacFunctions,
+    groups: List,
+    config: RansacConfig,
+    seed: int = 0,
+) -> RansacOutput:
+    """Core loop (ransac.hpp:172-258)."""
+    output = RansacOutput(return_code=RansacReturnCode.FAILURE)
+
+    if (
+        config.min_consensus_size >= len(groups)
+        or config.min_consensus_size < config.random_sample_size
+        or config.random_sample_size >= len(groups)
+        or config.random_sample_size <= 0
+        or config.max_iterations <= 0
+    ):
+        output.return_code = RansacReturnCode.INVALID_ARGUMENTS
+        return output
+
+    rng = np.random.default_rng(seed)
+    i = 0
+    failed_candidates = 0
+    while i < config.max_iterations:
+        iteration = RansacIteration()
+        output.iterations.append(iteration)
+        iteration.candidates = random_without_replacement(
+            groups, config.random_sample_size, rng
+        )
+
+        if not functions.is_valid_candidate(iteration.candidates):
+            failed_candidates += 1
+            if failed_candidates >= config.max_failed_candidates:
+                output.return_code = (
+                    RansacReturnCode.EXCEEDED_MAX_FAILED_CANDIDATES
+                )
+                return output
+            continue
+
+        fit = functions.fitter(iteration.candidates)
+
+        for group in groups:
+            if group in iteration.candidates:
+                continue
+            value = float(functions.inlier_metric(group, fit))
+            if value <= config.inlier_threshold:
+                iteration.inliers[group] = value
+            else:
+                iteration.outliers[group] = value
+
+        consensus = iteration.consensus()
+        if len(consensus) >= config.min_consensus_size:
+            iteration.consensus_metric_value = float(
+                functions.consensus_metric(consensus)
+            )
+            if math.isnan(output.best.consensus_metric_value) or (
+                iteration.consensus_metric_value
+                < output.best.consensus_metric_value
+            ):
+                output.best = iteration
+        i += 1
+
+    if output.best.consensus():
+        output.return_code = RansacReturnCode.SUCCESS
+    else:
+        output.return_code = RansacReturnCode.NO_CONSENSUS
+    return output
+
+
+# ---------------------------------------------------------------------------
+# Generic strategy (ransac.hpp:282-375)
+# ---------------------------------------------------------------------------
+class GenericRansacStrategy:
+    def __init__(self, inlier_metric, consensus_metric, grouper):
+        self.inlier_metric = inlier_metric
+        self.consensus_metric = consensus_metric
+        self.grouper = grouper
+
+    def get_indexer(self, dataset: RegressionDataset) -> Grouped:
+        return group_by(dataset, self.grouper).indexers()
+
+    def __call__(self, model, dataset: RegressionDataset) -> RansacFunctions:
+        indexer = self.get_indexer(dataset)
+
+        def fitter(groups):
+            inds = indices_from_groups(indexer, groups)
+            return model.fit(dataset.subset(inds))
+
+        def inlier_metric(group, fit_model):
+            inds = indexer[group]
+            pred = fit_model.predict(
+                dataset.subset(inds).features
+            )
+            return self.inlier_metric(pred, dataset.targets.subset(inds))
+
+        def consensus_metric(groups):
+            inds = indices_from_groups(indexer, groups)
+            return self.consensus_metric(dataset.subset(inds), model)
+
+        return RansacFunctions(fitter, inlier_metric, consensus_metric)
+
+
+def DefaultRansacStrategy():
+    return GenericRansacStrategy(
+        NegativeLogLikelihood(JointDistribution),
+        LeaveOneOutLikelihood(JointDistribution),
+        LeaveOneOutGrouper(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GP strategy with conditional-Gaussian fast path (ransac_gp.hpp)
+# ---------------------------------------------------------------------------
+class DifferentialEntropyConsensusMetric:
+    def __call__(self, prior: JointDistribution, truth) -> float:
+        return float(differential_entropy(prior.covariance))
+
+
+class FeatureCountConsensusMetric:
+    def __call__(self, prior, truth: MarginalDistribution) -> float:
+        return -float(truth.size)
+
+
+class ChiSquaredConsensusMetric:
+    def __call__(self, prior: JointDistribution, truth) -> float:
+        import jax.numpy as jnp
+
+        cov = prior.covariance + jnp.diag(truth.get_variance())
+        return float(chi_squared_cdf(prior.mean - truth.mean, cov))
+
+
+class ChiSquaredIsValidCandidateMetric:
+    def __init__(self, threshold: float = DEFAULT_CHI_SQUARED_THRESHOLD):
+        self.threshold = threshold
+
+    def __call__(self, pred: JointDistribution, truth) -> bool:
+        import jax.numpy as jnp
+
+        cov = pred.covariance + jnp.diag(truth.get_variance())
+        p = float(chi_squared_cdf(pred.mean - truth.mean, cov))
+        return p <= self.threshold
+
+
+class AlwaysAcceptCandidateMetric:
+    def __call__(self, pred, truth) -> bool:
+        return True
+
+
+class GaussianProcessRansacStrategy:
+    def __init__(
+        self,
+        inlier_metric=None,
+        consensus_metric=None,
+        is_valid_candidate=None,
+        grouper=None,
+    ):
+        self.inlier_metric = inlier_metric or NegativeLogLikelihood(
+            JointDistribution
+        )
+        self.consensus_metric = consensus_metric or FeatureCountConsensusMetric()
+        self.is_valid_candidate = (
+            is_valid_candidate or AlwaysAcceptCandidateMetric()
+        )
+        self.grouper = grouper or LeaveOneOutGrouper()
+
+    def get_indexer(self, dataset: RegressionDataset) -> Grouped:
+        return group_by(dataset, self.grouper).indexers()
+
+    def __call__(self, model, dataset: RegressionDataset) -> RansacFunctions:
+        indexer = self.get_indexer(dataset)
+        prior = model.prior(dataset.features)
+        conditional = ConditionalGaussian(prior, dataset.targets)
+
+        def fitter(groups):
+            return conditional.fit_from_indices(
+                indices_from_groups(indexer, groups)
+            )
+
+        def inlier_metric(group, fit):
+            inds = indexer[group]
+            pred = conditional._predict_joint(inds, fit)
+            return self.inlier_metric(pred, conditional.get_truth(inds))
+
+        def consensus_metric(groups):
+            inds = indices_from_groups(indexer, groups)
+            return self.consensus_metric(
+                conditional.get_prior(inds), conditional.get_truth(inds)
+            )
+
+        def is_valid(groups):
+            inds = indices_from_groups(indexer, groups)
+            return self.is_valid_candidate(
+                conditional.get_prior(inds), conditional.get_truth(inds)
+            )
+
+        return RansacFunctions(fitter, inlier_metric, consensus_metric, is_valid)
+
+
+def DefaultGPRansacStrategy():
+    return GaussianProcessRansacStrategy()
+
+
+def gp_ransac_strategy(
+    inlier_metric, consensus_metric, grouper, is_valid_candidate=None
+):
+    return GaussianProcessRansacStrategy(
+        inlier_metric, consensus_metric, is_valid_candidate, grouper
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ransac meta-model (ransac.hpp:428-526)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class RansacFit:
+    """Fit state: audit trail + the sub-model refit on the consensus set."""
+
+    ransac_output: RansacOutput
+    fit_model: Optional[FitModel]
+
+
+class Ransac(ModelBase):
+    def __init__(self, sub_model, strategy, config: RansacConfig, seed: int = 0):
+        self.sub_model = sub_model
+        self.strategy = strategy
+        self.config = config
+        self.seed = seed
+
+    @property
+    def model_name(self):
+        return f"ransac[{self.sub_model.model_name}]"
+
+    def get_params(self):
+        return self.sub_model.get_params()
+
+    def _replace_param(self, name, param):
+        return self._replace(sub_model=self.sub_model._replace_param(name, param))
+
+    def _fit_impl(self, features, targets) -> RansacFit:
+        dataset = RegressionDataset.create(features, targets)
+        functions = self.strategy(self.sub_model, dataset)
+        indexer = self.strategy.get_indexer(dataset)
+        output = ransac(
+            functions, indexer.keys(), self.config, seed=self.seed
+        )
+        if not ransac_success(output.return_code):
+            return RansacFit(output, None)
+        good_inds = indices_from_groups(indexer, output.best.consensus())
+        fit_model = self.sub_model.fit(dataset.subset(good_inds))
+        return RansacFit(output, fit_model)
+
+    def _predict_marginal(self, features, fit: RansacFit):
+        self._check(fit)
+        return fit.fit_model.predict(features).marginal()
+
+    def _predict_joint(self, features, fit: RansacFit):
+        self._check(fit)
+        return fit.fit_model.predict(features).joint()
+
+    def _predict_mean(self, features, fit: RansacFit):
+        self._check(fit)
+        return fit.fit_model.predict(features).mean()
+
+    @staticmethod
+    def _check(fit: RansacFit):
+        if fit.fit_model is None:
+            raise RuntimeError(
+                f"RANSAC failed: {fit.ransac_output.return_code.name}"
+            )

@@ -2,6 +2,7 @@ from .block import (
     BlockDiagonal,
     BlockDiagonalCholesky,
     BlockSymmetric,
+    DiagonalCholesky,
     build_block_symmetric,
 )
 from .linalg import (

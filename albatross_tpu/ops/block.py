@@ -165,6 +165,46 @@ class BlockDiagonalCholesky:
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
+class DiagonalCholesky:
+    """Degenerate all-singleton-blocks case (FITC): A = diag(d).
+
+    Same capability surface as BlockDiagonalCholesky but fully vectorized —
+    every solve is an elementwise divide on the VPU.
+    """
+
+    sqrt_diag: jax.Array  # (n,)
+
+    def tree_flatten(self):
+        return (self.sqrt_diag,), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(children[0])
+
+    @property
+    def rows(self) -> int:
+        return self.sqrt_diag.shape[0]
+
+    def _div(self, rhs):
+        if rhs.ndim > 1:
+            return rhs / self.sqrt_diag[:, None]
+        return rhs / self.sqrt_diag
+
+    def sqrt_solve(self, rhs):
+        return self._div(rhs)
+
+    def sqrt_transpose_solve(self, rhs):
+        return self._div(rhs)
+
+    def solve(self, rhs):
+        return self._div(self._div(rhs))
+
+    def log_determinant(self):
+        return 2.0 * jnp.sum(jnp.log(self.sqrt_diag))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
 class BlockSymmetric:
     """2×2 symmetric block solve via Schur complement
     (block_symmetric.hpp:36-120).

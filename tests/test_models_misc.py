@@ -1,0 +1,192 @@
+"""ConditionalGaussian, LeastSquares, NullModel, RANSAC tests
+(reference: tests/test_ransac.cc, test_conditional_gaussian.cc,
+ test_models.cc typed suite)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from albatross_tpu import (
+    ConditionalGaussian,
+    DefaultGPRansacStrategy,
+    GaussianProcess,
+    IndependentNoise,
+    JointDistribution,
+    LinearRegression,
+    MarginalDistribution,
+    NullModel,
+    RansacConfig,
+    RegressionDataset,
+    SquaredExponential,
+    gp_from_covariance,
+    measurement_only,
+)
+from albatross_tpu.models import LeastSquares, RansacReturnCode, ransac_success
+from albatross_tpu.models.ransac import (
+    FeatureCountConsensusMetric,
+    GaussianProcessRansacStrategy,
+)
+
+
+def toy_gp_model():
+    return gp_from_covariance(
+        SquaredExponential(1.5, 1.0) + measurement_only(IndependentNoise(0.1))
+    )
+
+
+def test_conditional_gaussian_matches_manual(rng):
+    n = 8
+    A = rng.standard_normal((n, n))
+    cov = A @ A.T + n * np.eye(n)
+    mean = rng.standard_normal(n)
+    prior = JointDistribution.create(mean, cov)
+    truth = MarginalDistribution.create(
+        mean + 0.5 * rng.standard_normal(n), 0.1 * np.ones(n)
+    )
+    model = ConditionalGaussian(prior, truth)
+    train = np.asarray([0, 2, 4, 6])
+    test = np.asarray([1, 3, 5, 7])
+    pred = model.fit(train).predict(test).joint()
+
+    # manual conditioning
+    K = cov + np.diag(np.full(n, 0.1))
+    # note: truth variance only on the train side
+    Ktt = cov[np.ix_(train, train)] + 0.1 * np.eye(4)
+    Kst = cov[np.ix_(train, test)]
+    dev = np.asarray(truth.mean)[train] - mean[train]
+    m_ref = mean[test] + Kst.T @ np.linalg.solve(Ktt, dev)
+    c_ref = cov[np.ix_(test, test)] - Kst.T @ np.linalg.solve(Ktt, Kst)
+    np.testing.assert_allclose(np.asarray(pred.mean), m_ref, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(pred.covariance), c_ref, rtol=1e-8)
+
+    marg = model.fit(train).predict(test).marginal()
+    np.testing.assert_allclose(
+        np.asarray(marg.variance), np.diagonal(c_ref), rtol=1e-8
+    )
+
+
+def test_linear_regression_exact(rng):
+    x = jnp.linspace(0, 10, 20)
+    y = 3.0 + 2.0 * x
+    data = RegressionDataset.create(x, y)
+    model = LinearRegression()
+    fit_model = model.fit(data)
+    np.testing.assert_allclose(
+        np.asarray(fit_model.fit.coefs), [3.0, 2.0], rtol=1e-9, atol=1e-9
+    )
+    pred = fit_model.predict(jnp.asarray([100.0])).mean()
+    assert float(pred[0]) == pytest.approx(203.0, rel=1e-9)
+
+
+def test_least_squares_design_matrix(rng):
+    A = rng.standard_normal((30, 3))
+    coefs = np.asarray([1.0, -2.0, 0.5])
+    y = A @ coefs
+    data = RegressionDataset.create(jnp.asarray(A), jnp.asarray(y))
+    fit_model = LeastSquares().fit(data)
+    np.testing.assert_allclose(np.asarray(fit_model.fit.coefs), coefs, atol=1e-9)
+
+
+def test_null_model():
+    model = NullModel()
+    data = RegressionDataset.create(jnp.asarray([1.0, 2.0]), jnp.asarray([3.0, 4.0]))
+    fit_model = model.fit(data)
+    pred = fit_model.predict(jnp.asarray([5.0, 6.0, 7.0]))
+    marg = pred.marginal()
+    np.testing.assert_allclose(np.asarray(marg.mean), np.zeros(3))
+    np.testing.assert_allclose(np.asarray(marg.variance), 1e4 * np.ones(3))
+    joint = pred.joint()
+    np.testing.assert_allclose(np.asarray(joint.covariance), 1e4 * np.eye(3))
+
+
+def make_outlier_dataset(rng, n=20, n_outliers=3):
+    x = np.sort(rng.uniform(0.0, 10.0, n))
+    y = np.sin(x) + 0.05 * rng.standard_normal(n)
+    outlier_idx = rng.choice(n, size=n_outliers, replace=False)
+    y[outlier_idx] += rng.choice([-1, 1], n_outliers) * rng.uniform(
+        3.0, 5.0, n_outliers
+    )
+    return (
+        RegressionDataset.create(
+            jnp.asarray(x), jnp.asarray(y), variance=jnp.full((n,), 0.0025)
+        ),
+        set(int(i) for i in outlier_idx),
+    )
+
+
+def test_gp_ransac_rejects_outliers(rng):
+    data, outliers = make_outlier_dataset(rng)
+    model = toy_gp_model()
+    config = RansacConfig(
+        inlier_threshold=1.0,
+        random_sample_size=3,
+        min_consensus_size=10,
+        max_iterations=20,
+        max_failed_candidates=20,
+    )
+    ransac_model = model.ransac(DefaultGPRansacStrategy(), config)
+    fit_model = ransac_model.fit(data)
+    output = fit_model.fit.ransac_output
+    assert ransac_success(output.return_code)
+
+    consensus = set(output.best.consensus())
+    # all true outliers excluded from the consensus
+    assert not (consensus & outliers)
+    # most inliers retained
+    assert len(consensus) >= data.size - len(outliers) - 3
+
+    # prediction ignores the outliers: near sin(x) overall (local gaps where
+    # candidate sampling dropped legitimate points are allowed)
+    xs = jnp.linspace(0.5, 9.5, 9)
+    pred = np.asarray(fit_model.predict(xs).mean())
+    rmse = float(np.sqrt(np.mean((pred - np.sin(np.asarray(xs))) ** 2)))
+    assert rmse < 0.4
+    # a non-robust fit on the contaminated data is much worse
+    naive = np.asarray(model.fit(data).predict(xs).mean())
+    naive_rmse = float(np.sqrt(np.mean((naive - np.sin(np.asarray(xs))) ** 2)))
+    assert rmse < naive_rmse
+
+
+def test_ransac_audit_trail(rng):
+    data, _ = make_outlier_dataset(rng)
+    model = toy_gp_model()
+    config = RansacConfig(1.0, 3, 10, 5, 5)
+    fit_model = model.ransac(DefaultGPRansacStrategy(), config).fit(data)
+    output = fit_model.fit.ransac_output
+    assert len(output.iterations) <= 5
+    for it in output.iterations:
+        assert len(it.candidates) == 3
+        # every non-candidate group classified
+        assert len(it.inliers) + len(it.outliers) == data.size - 3
+
+
+def test_ransac_invalid_arguments(rng):
+    data, _ = make_outlier_dataset(rng)
+    model = toy_gp_model()
+    # sample size > dataset
+    config = RansacConfig(1.0, 50, 60, 5, 5)
+    fit_model = model.ransac(DefaultGPRansacStrategy(), config).fit(data)
+    assert (
+        fit_model.fit.ransac_output.return_code
+        == RansacReturnCode.INVALID_ARGUMENTS
+    )
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENTS"):
+        fit_model.predict(jnp.asarray([1.0])).mean()
+
+
+def test_generic_ransac_strategy(rng):
+    from albatross_tpu.models.ransac import DefaultRansacStrategy
+
+    data, outliers = make_outlier_dataset(rng, n=15, n_outliers=2)
+    model = toy_gp_model()
+    config = RansacConfig(
+        inlier_threshold=3.0,
+        random_sample_size=3,
+        min_consensus_size=8,
+        max_iterations=8,
+        max_failed_candidates=8,
+    )
+    fit_model = model.ransac(DefaultRansacStrategy(), config).fit(data)
+    output = fit_model.fit.ransac_output
+    assert ransac_success(output.return_code)
+    assert not (set(output.best.consensus()) & outliers)
