@@ -1,0 +1,122 @@
+"""Mesh-distributed exact GP: fit / predict / NLML at pod scale.
+
+This is the north-star path (BASELINE.md): exact GP at N=100k where the
+N×N covariance never exists on one chip.  The pipeline is
+
+    sharded Gram (gram.py)  →  distributed blocked Cholesky (cholesky.py)
+    →  panel-substitution solves  →  predictions / NLML
+
+with all collectives riding ICI.  ``DistributedCholesky`` exposes the same
+capability surface as the dense ``CholeskyFactor`` so the single-chip and
+multi-chip paths share prediction code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ..core.dataset import RegressionDataset
+from ..core.distributions import JointDistribution, MarginalDistribution
+from ..kernels.features import as_measurement
+from ..models.base import FitModel
+from ..models.gp import GaussianProcess, GPFit
+from .cholesky import (
+    distributed_cholesky,
+    distributed_log_determinant,
+    distributed_solve,
+    distributed_sqrt_solve,
+)
+from .gram import sharded_cross_gram, sharded_gram
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DistributedCholesky:
+    """Row-sharded Cholesky factor bound to its mesh."""
+
+    L: jax.Array  # (N, N), row-sharded over `axis`
+    mesh: Mesh
+    axis: str = "data"
+
+    def tree_flatten(self):
+        return (self.L,), (self.mesh, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    def solve(self, rhs):
+        return distributed_solve(self.L, rhs, self.mesh, self.axis)
+
+    def sqrt_solve(self, rhs):
+        return distributed_sqrt_solve(self.L, rhs, self.mesh, self.axis)
+
+    def log_determinant(self):
+        return distributed_log_determinant(self.L, self.mesh, self.axis)
+
+
+class DistributedGaussianProcess(GaussianProcess):
+    """Exact GP whose fit-time linear algebra is mesh-distributed.
+
+    Prediction math is inherited — it only calls ``solve`` on the fit's
+    covariance representation, which dispatches to the distributed factor.
+    """
+
+    def __init__(self, covariance, mesh: Mesh, mean=None, axis: str = "data", **kw):
+        super().__init__(covariance, mean, **kw)
+        self.mesh = mesh
+        self.axis = axis
+
+    def _fit_impl(self, features, targets: MarginalDistribution) -> GPFit:
+        K = sharded_gram(
+            self.covariance_function,
+            features,
+            self.mesh,
+            self.axis,
+            measurement=True,
+            target_variance=targets.variance,
+        )
+        if self.jitter:
+            K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
+        L = distributed_cholesky(K, self.mesh, self.axis)
+        chol = DistributedCholesky(L, self.mesh, self.axis)
+        zero_mean = self.mean_function.remove_from(
+            as_measurement(features), targets.mean
+        )
+        information = chol.solve(zero_mean)
+        return GPFit(features, chol, information)
+
+    def log_likelihood(self, dataset: RegressionDataset):
+        measurements = as_measurement(dataset.features)
+        zero_mean = self.mean_function.remove_from(
+            measurements, dataset.targets.mean
+        )
+        K = sharded_gram(
+            self.covariance_function,
+            dataset.features,
+            self.mesh,
+            self.axis,
+            measurement=True,
+        )
+        L = distributed_cholesky(K, self.mesh, self.axis)
+        chol = DistributedCholesky(L, self.mesh, self.axis)
+        white = chol.sqrt_solve(zero_mean)
+        n = zero_mean.shape[0]
+        nll = 0.5 * (
+            chol.log_determinant() + jnp.sum(white * white) + n * LOG_2PI
+        )
+        return -nll + self.prior_log_likelihood()
+
+
+def distributed_gp_from_covariance(
+    covariance, mesh: Mesh, mean=None, **kwargs
+) -> DistributedGaussianProcess:
+    return DistributedGaussianProcess(covariance, mesh, mean, **kwargs)

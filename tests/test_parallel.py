@@ -1,0 +1,154 @@
+"""Distributed-layer tests on the virtual 8-device CPU mesh: sharded gram,
+distributed Cholesky/solves, distributed GP == single-chip GP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from albatross_tpu import (
+    IndependentNoise,
+    RegressionDataset,
+    SquaredExponential,
+    gp_from_covariance,
+    measurement_only,
+)
+from albatross_tpu.kernels import as_measurement
+from albatross_tpu.parallel import (
+    distributed_cholesky,
+    distributed_gp_from_covariance,
+    distributed_log_determinant,
+    distributed_solve,
+    distributed_sqrt_solve,
+    make_mesh,
+    sharded_cross_gram,
+    sharded_gram,
+)
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV, "conftest must force 8 CPU devices"
+    return make_mesh(N_DEV, ("data",))
+
+
+def spd_matrix(rng, n):
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def test_distributed_cholesky_matches_dense(mesh, rng):
+    n = 64
+    A = jnp.asarray(spd_matrix(rng, n))
+    L = distributed_cholesky(A, mesh)
+    L_ref = np.linalg.cholesky(np.asarray(A))
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=1e-9, atol=1e-9)
+
+
+def test_distributed_solves(mesh, rng):
+    n = 48
+    A = jnp.asarray(spd_matrix(rng, n))
+    L = distributed_cholesky(A, mesh)
+    rhs = jnp.asarray(rng.standard_normal(n))
+    x = distributed_solve(L, rhs, mesh)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(rhs)), rtol=1e-8
+    )
+    # matrix rhs
+    RHS = jnp.asarray(rng.standard_normal((n, 3)))
+    X = distributed_solve(L, RHS, mesh)
+    np.testing.assert_allclose(
+        np.asarray(X), np.linalg.solve(np.asarray(A), np.asarray(RHS)), rtol=1e-8
+    )
+    # whitening
+    w = distributed_sqrt_solve(L, rhs, mesh)
+    L_ref = np.linalg.cholesky(np.asarray(A))
+    np.testing.assert_allclose(
+        np.asarray(w),
+        np.linalg.solve(L_ref, np.asarray(rhs)),
+        rtol=1e-8,
+    )
+    # logdet
+    ld = distributed_log_determinant(L, mesh)
+    assert float(ld) == pytest.approx(
+        float(np.linalg.slogdet(np.asarray(A))[1]), rel=1e-10
+    )
+
+
+def test_sharded_gram_matches_dense(mesh, rng):
+    n = 40
+    x = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    kernel = SquaredExponential(1.5, 1.0) + measurement_only(
+        IndependentNoise(0.2)
+    )
+    K_sharded = sharded_gram(kernel, x, mesh, measurement=True)
+    K_ref = np.asarray(kernel(as_measurement(x)))
+    np.testing.assert_allclose(np.asarray(K_sharded), K_ref, rtol=1e-12)
+
+    # with target variance on the diagonal
+    var = jnp.full((n,), 0.01)
+    K_v = sharded_gram(kernel, x, mesh, measurement=True, target_variance=var)
+    np.testing.assert_allclose(
+        np.asarray(K_v), K_ref + 0.01 * np.eye(n), rtol=1e-12
+    )
+
+    xs = jnp.linspace(0, 10, 5)
+    C = sharded_cross_gram(kernel, x, xs, mesh)
+    C_ref = np.asarray(kernel.matrix_or_none(x, xs))
+    np.testing.assert_allclose(np.asarray(C), C_ref, rtol=1e-12)
+
+
+def test_distributed_gp_matches_single_chip(mesh, rng):
+    n = 32
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    data = RegressionDataset.create(
+        jnp.asarray(x), jnp.asarray(y), variance=jnp.full((n,), 0.01)
+    )
+    kernel = SquaredExponential(1.5, 1.0) + measurement_only(
+        IndependentNoise(0.2)
+    )
+    single = gp_from_covariance(kernel)
+    multi = distributed_gp_from_covariance(kernel, mesh)
+
+    xs = jnp.linspace(0.5, 9.5, 8)
+    p1 = single.fit(data).predict(xs).marginal()
+    p8 = multi.fit(data).predict(xs).marginal()
+    np.testing.assert_allclose(
+        np.asarray(p8.mean), np.asarray(p1.mean), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(p8.variance), np.asarray(p1.variance), rtol=1e-7
+    )
+
+    ll1 = float(single.log_likelihood(data))
+    ll8 = float(multi.log_likelihood(data))
+    assert ll8 == pytest.approx(ll1, rel=1e-10)
+
+
+def test_distributed_nlml_gradient(mesh, rng):
+    """Gradients flow through the collective pipeline."""
+    n = 16
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x)
+    data = RegressionDataset.create(jnp.asarray(x), jnp.asarray(y))
+    kernel = SquaredExponential(2.0, 1.0) + IndependentNoise(0.1)
+    multi = distributed_gp_from_covariance(kernel, mesh)
+    single = gp_from_covariance(kernel)
+
+    g_multi = jax.grad(lambda m: -m.log_likelihood(data))(multi)
+    g_single = jax.grad(lambda m: -m.log_likelihood(data))(single)
+    gm = g_multi.get_params()
+    gs = g_single.get_params()
+    for name in gs:
+        assert float(gm[name].value) == pytest.approx(
+            float(gs[name].value), rel=1e-6
+        ), name
+
+
+def test_indivisible_shapes_raise(mesh, rng):
+    A = jnp.asarray(spd_matrix(rng, 30))  # 30 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        distributed_cholesky(A, mesh)
