@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
 import jax.numpy as jnp
 
 EPSILON = 1e-16  # acos clamping guard (distance_metrics.hpp:18)
@@ -53,22 +54,30 @@ class EuclideanDistance(DistanceMetric):
     def name(self) -> str:
         return "euclidean_distance"
 
+    # Below this many feature dimensions the exact elementwise broadcast is
+    # used; above it the MXU matmul trick wins.  The matmul runs at HIGHEST
+    # precision: TPU's default f32 matmul is a single bf16 pass, which
+    # catastrophically cancels |x|²+|y|²−2x·y for large-magnitude features
+    # (observed as NaN Cholesky on v5e with x ~ O(100)).
+    _BROADCAST_MAX_D = 8
+
     def pairwise_squared(self, X, Y) -> jnp.ndarray:
-        """Squared distances via the matmul trick — one MXU GEMM instead of
-        an O(N·M·D) elementwise broadcast, and no sqrt for kernels (like the
-        squared exponential) that only need d²."""
+        """Squared pairwise distances; no sqrt for kernels (like the squared
+        exponential) that only need d²."""
         X, Y = as_matrix(X), as_matrix(Y)
+        if X.shape[-1] <= self._BROADCAST_MAX_D:
+            diff = X[:, None, :] - Y[None, :, :]
+            return jnp.sum(diff * diff, axis=-1)
         x2 = jnp.sum(X * X, axis=-1)
         y2 = jnp.sum(Y * Y, axis=-1)
-        xy = X @ Y.T
+        xy = jax.lax.dot(X, Y.T, precision=jax.lax.Precision.HIGHEST)
         d2 = x2[:, None] + y2[None, :] - 2.0 * xy
         return jnp.maximum(d2, 0.0)
 
     def pairwise(self, X, Y) -> jnp.ndarray:
         X, Y = as_matrix(X), as_matrix(Y)
         if X.shape[-1] == 1:
-            # 1-D features: exact |x - y| (no cancellation from the matmul
-            # trick, which matters for parity with the reference's fabs path).
+            # 1-D features: exact |x - y| (matches the reference's fabs path).
             return jnp.abs(X[:, 0][:, None] - Y[:, 0][None, :])
         return jnp.sqrt(self.pairwise_squared(X, Y))
 
@@ -101,7 +110,9 @@ class AngularDistance(DistanceMetric):
         X, Y = as_matrix(X), as_matrix(Y)
         nx = jnp.linalg.norm(X, axis=-1)
         ny = jnp.linalg.norm(Y, axis=-1)
-        dots = (X @ Y.T) / (nx[:, None] * ny[None, :])
+        dots = jax.lax.dot(X, Y.T, precision=jax.lax.Precision.HIGHEST) / (
+            nx[:, None] * ny[None, :]
+        )
         angles = jnp.arccos(jnp.clip(dots, -1.0 + EPSILON, 1.0 - EPSILON))
         return jnp.where(
             dots > 1.0 - EPSILON,

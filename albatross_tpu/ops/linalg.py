@@ -45,6 +45,12 @@ class CholeskyFactor:
         K = _sym(jnp.asarray(K))
         if jitter:
             K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
+        if K.shape[0] > 2048:
+            # GEMM-rich blocked factorization: ~1.6x XLA's builtin on TPU
+            # (see ops/blocked_cholesky.py)
+            from .blocked_cholesky import blocked_cholesky
+
+            return cls(blocked_cholesky(K))
         return cls(jnp.linalg.cholesky(K))
 
     @property
