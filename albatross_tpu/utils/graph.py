@@ -1,0 +1,85 @@
+"""Generic graph utilities and minimum spanning tree.
+
+TPU-native counterpart of
+/root/reference/include/albatross/src/graph/minimum_spanning_tree.hpp:20-287
+(Kruskal with union-find; used for e.g. differencing networks).  Host-side
+combinatorial code — this feeds *structure* (which pairs to difference) to
+the device compute, so it stays NumPy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Generic, Hashable, List, Set, TypeVar
+
+V = TypeVar("V", bound=Hashable)
+
+
+@dataclasses.dataclass(frozen=True)
+class Edge(Generic[V]):
+    a: V
+    b: V
+    cost: float = 0.0
+
+    def reversed(self) -> "Edge":
+        return Edge(self.b, self.a, self.cost)
+
+
+@dataclasses.dataclass
+class Graph(Generic[V]):
+    edges: List[Edge] = dataclasses.field(default_factory=list)
+
+    def add_edge(self, a: V, b: V, cost: float = 0.0) -> None:
+        self.edges.append(Edge(a, b, cost))
+
+    def vertices(self) -> Set[V]:
+        out: Set[V] = set()
+        for e in self.edges:
+            out.add(e.a)
+            out.add(e.b)
+        return out
+
+    def adjacency(self) -> Dict[V, List[Edge]]:
+        adj: Dict[V, List[Edge]] = {}
+        for e in self.edges:
+            adj.setdefault(e.a, []).append(e)
+            adj.setdefault(e.b, []).append(e.reversed())
+        return adj
+
+
+class _UnionFind(Generic[V]):
+    def __init__(self):
+        self.parent: Dict[V, V] = {}
+
+    def find(self, v: V) -> V:
+        self.parent.setdefault(v, v)
+        root = v
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[v] != root:
+            self.parent[v], v = root, self.parent[v]
+        return root
+
+    def union(self, a: V, b: V) -> bool:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        self.parent[ra] = rb
+        return True
+
+
+def minimum_spanning_tree(graph: Graph) -> Graph:
+    """Kruskal's MST (minimum_spanning_tree.hpp); ties broken by edge
+    insertion order for determinism."""
+    uf = _UnionFind()
+    out = Graph()
+    for edge in sorted(graph.edges, key=lambda e: e.cost):
+        if uf.union(edge.a, edge.b):
+            out.edges.append(edge)
+    return out
+
+
+def maximum_spanning_tree(graph: Graph) -> Graph:
+    flipped = Graph([Edge(e.a, e.b, -e.cost) for e in graph.edges])
+    mst = minimum_spanning_tree(flipped)
+    return Graph([Edge(e.a, e.b, -e.cost) for e in mst.edges])

@@ -1,0 +1,209 @@
+"""Serialization, CSV, graph/MST, chebyshev, random-utils, native-extension
+tests (reference: tests/test_serialize.cc round-trip strategy §2.11,
+ test_graph.cc, test_chebyshev.cc)."""
+
+import io
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from albatross_tpu import (
+    GaussianPrior,
+    IndependentNoise,
+    LogScaleUniformPrior,
+    Parameter,
+    RegressionDataset,
+    SquaredExponential,
+    gp_from_covariance,
+    measurement_only,
+)
+from albatross_tpu.serialize import (
+    load_checkpoint,
+    load_params,
+    params_from_json,
+    params_to_json,
+    save_checkpoint,
+    save_params,
+)
+from albatross_tpu.utils import (
+    Edge,
+    Graph,
+    chebyshev_t,
+    chebyshev_t_phi,
+    minimum_spanning_tree,
+    read_csv_dataset,
+    sample_mvn,
+    write_to_csv,
+)
+
+
+def toy_model():
+    return gp_from_covariance(
+        SquaredExponential(1.5, 1.0) + measurement_only(IndependentNoise(0.2))
+    )
+
+
+def toy_data(rng, n=15):
+    x = np.sort(rng.uniform(0, 10, n))
+    return RegressionDataset.create(
+        jnp.asarray(x), jnp.asarray(np.sin(x)), variance=jnp.full((n,), 0.01)
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpoints
+# ---------------------------------------------------------------------------
+def test_fit_model_checkpoint_round_trip(tmp_path, rng):
+    data = toy_data(rng)
+    fit_model = toy_model().fit(data)
+    xs = jnp.linspace(0, 10, 6)
+    before = np.asarray(fit_model.predict(xs).marginal().mean)
+
+    path = str(tmp_path / "fit.ckpt")
+    save_checkpoint(path, fit_model)
+    restored = load_checkpoint(path)
+    after = np.asarray(restored.predict(xs).marginal().mean)
+    np.testing.assert_allclose(after, before, rtol=1e-12)
+    # params survive too
+    assert float(
+        restored.model.get_params()["squared_exponential_length_scale"].value
+    ) == pytest.approx(1.5)
+
+
+def test_dataset_checkpoint_round_trip(tmp_path, rng):
+    data = toy_data(rng)
+    path = str(tmp_path / "data.ckpt")
+    save_checkpoint(path, data)
+    restored = load_checkpoint(path)
+    np.testing.assert_allclose(
+        np.asarray(restored.targets.mean), np.asarray(data.targets.mean)
+    )
+    assert restored.size == data.size
+
+
+def test_checkpoint_bad_magic(tmp_path):
+    path = str(tmp_path / "junk.ckpt")
+    with open(path, "wb") as f:
+        f.write(b"NOTACKPT" + b"x" * 16)
+    with pytest.raises(ValueError, match="not an albatross_tpu checkpoint"):
+        load_checkpoint(path)
+
+
+# ---------------------------------------------------------------------------
+# params JSON
+# ---------------------------------------------------------------------------
+def test_params_json_round_trip(tmp_path):
+    params = {
+        "ls": Parameter(2.5, LogScaleUniformPrior(1e-3, 1e3)),
+        "sigma": Parameter(1.25, GaussianPrior(0.0, 10.0)),
+    }
+    text = params_to_json(params)
+    back = params_from_json(text)
+    assert float(back["ls"].value) == 2.5
+    assert back["ls"].prior == LogScaleUniformPrior(1e-3, 1e3)
+    assert back["sigma"].prior == GaussianPrior(0.0, 10.0)
+
+    model = toy_model()
+    path = str(tmp_path / "params.json")
+    save_params(path, model)
+    loaded = load_params(path)
+    assert set(loaded) == set(model.get_params())
+
+
+# ---------------------------------------------------------------------------
+# CSV
+# ---------------------------------------------------------------------------
+def test_csv_round_trip(tmp_path, rng):
+    data = toy_data(rng, 10)
+    model = toy_model()
+    pred = model.fit(data).predict(data.features).marginal()
+    path = str(tmp_path / "out.csv")
+    write_to_csv(path, data, pred)
+    restored = read_csv_dataset(
+        path, ["feature"], "target", "target_variance"
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored.targets.mean),
+        np.asarray(data.targets.mean),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored.features), np.asarray(data.features), rtol=1e-12
+    )
+
+
+def test_native_csv_parser(tmp_path):
+    pytest.importorskip("albatross_tpu._native")
+    from albatross_tpu._native import parse_csv
+
+    path = str(tmp_path / "native.csv")
+    with open(path, "w") as f:
+        f.write("a,b,c\n1.0,2.5,-3e2\n4,5,6\n")
+    cols = parse_csv(path)
+    np.testing.assert_allclose(cols["a"], [1.0, 4.0])
+    np.testing.assert_allclose(cols["c"], [-300.0, 6.0])
+
+
+# ---------------------------------------------------------------------------
+# graph / MST
+# ---------------------------------------------------------------------------
+def test_minimum_spanning_tree():
+    g = Graph()
+    g.add_edge("a", "b", 1.0)
+    g.add_edge("b", "c", 2.0)
+    g.add_edge("a", "c", 3.0)
+    g.add_edge("c", "d", 1.0)
+    mst = minimum_spanning_tree(g)
+    assert len(mst.edges) == 3
+    assert sum(e.cost for e in mst.edges) == 4.0
+    assert mst.edges[0].cost <= mst.edges[-1].cost
+
+
+def test_native_mst_matches_python():
+    pytest.importorskip("albatross_tpu._native")
+    from albatross_tpu._native import mst_kruskal
+
+    rng = np.random.default_rng(0)
+    n_v, n_e = 30, 120
+    a = rng.integers(0, n_v, n_e)
+    b = (a + 1 + rng.integers(0, n_v - 1, n_e)) % n_v
+    cost = rng.uniform(0, 1, n_e)
+    mask = mst_kruskal(a, b, cost)
+
+    g = Graph()
+    for i in range(n_e):
+        g.add_edge(int(a[i]), int(b[i]), float(cost[i]))
+    mst = minimum_spanning_tree(g)
+    assert mask.sum() == len(mst.edges)
+    assert cost[mask].sum() == pytest.approx(sum(e.cost for e in mst.edges))
+
+
+# ---------------------------------------------------------------------------
+# chebyshev / random
+# ---------------------------------------------------------------------------
+def test_chebyshev():
+    x = jnp.linspace(-1, 1, 11)
+    np.testing.assert_allclose(np.asarray(chebyshev_t(0, x)), np.ones(11))
+    np.testing.assert_allclose(np.asarray(chebyshev_t(1, x)), np.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(chebyshev_t(2, x)), 2 * np.asarray(x) ** 2 - 1, atol=1e-12
+    )
+    phi = chebyshev_t_phi(jnp.linspace(0, 4, 7), order=4, lo=0.0, hi=4.0)
+    assert phi.shape == (7, 4)
+    np.testing.assert_allclose(np.asarray(phi[:, 0]), np.ones(7))
+
+
+def test_sample_mvn(rng):
+    import jax
+
+    from albatross_tpu import JointDistribution
+
+    cov = np.asarray([[2.0, 0.6], [0.6, 1.0]])
+    dist = JointDistribution.create([1.0, -1.0], cov)
+    samples = sample_mvn(jax.random.PRNGKey(0), dist, num_samples=20000)
+    emp_mean = np.mean(np.asarray(samples), axis=0)
+    emp_cov = np.cov(np.asarray(samples).T)
+    np.testing.assert_allclose(emp_mean, [1.0, -1.0], atol=0.05)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.08)
