@@ -4,15 +4,21 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Workload: R full NLML evaluations (gram → blocked Cholesky → whitening →
-log-det) at different hyperparameters inside ONE jitted scan — the inner loop
-of marginal-likelihood optimization and MCMC, and the reference's hot path
+log-det) at perturbed hyperparameters — the inner loop of marginal-likelihood
+optimization/MCMC and the reference's hot path
 (/root/reference/benchmarks/bench_gram.cc defines the equivalent cases; no
-numbers are published).  Iterating inside jit amortizes the ~28 ms
-host↔device round trip of the tunneled backend, so the number reflects chip
-throughput, not link latency.
+numbers are published).
 
-Headline value: achieved TFLOP/s of the pipeline; ``vs_baseline`` is the
-ratio against the north-star target of 60% of f32 peak (BASELINE.md).
+Measurement notes for the tunneled (axon) backend:
+* ~28 ms host↔device round trip per synchronized call and
+  ``block_until_ready`` does NOT synchronize — a host transfer does;
+* large fused programs (scan over the whole pipeline) can stall the remote
+  compile service, so the benchmark compiles ONE pipeline and amortizes RTT
+  by async-dispatching R data-dependent calls (each consumes the previous
+  NLML, forcing sequential device execution) with a single final sync.
+
+Headline value: achieved TFLOP/s; ``vs_baseline`` is the ratio against the
+north-star target of 60% of f32 peak (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ import sys
 import time
 
 N = 8192
-R = 10  # NLML evaluations per timed call
+R = 8  # chained NLML evaluations per timed batch
 PEAK_F32_TFLOPS = 49.2
 TARGET_FRACTION = 0.6
 
@@ -40,8 +46,6 @@ def main() -> int:
     import numpy as np
 
     import albatross_tpu as ab
-    from albatross_tpu.models.gp import negative_log_likelihood
-    from albatross_tpu.ops.linalg import CholeskyFactor
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, N)), dtype=jnp.float32)
@@ -54,29 +58,35 @@ def main() -> int:
     )
     model = ab.gp_from_covariance(kernel, jitter=1e-4)
     data = ab.RegressionDataset.create(x, y)
-    length_scales = jnp.linspace(0.4, 0.6, R, dtype=jnp.float32)
 
     @jax.jit
-    def nlml_sweep(model, data, length_scales):
-        def body(carry, ls):
-            m = model.set_param_value("squared_exponential_length_scale", ls)
-            return carry, -m.log_likelihood(data)
+    def nlml_step(model, data, prev):
+        # perturb the length scale by an invisible function of the previous
+        # result: keeps each call data-dependent on the last so the R async
+        # dispatches execute back-to-back on device.
+        eps = 1e-30 * prev
+        m = model.set_param_value(
+            "squared_exponential_length_scale",
+            jnp.float32(0.5) + eps,
+        )
+        return -m.log_likelihood(data)
 
-        _, nlmls = jax.lax.scan(body, 0.0, length_scales)
-        return nlmls
-
-    out = nlml_sweep(model, data, length_scales)
-    first = float(out[0])  # force sync (block_until_ready lies on the tunnel)
+    prev = jnp.float32(0.0)
+    prev = nlml_step(model, data, prev)
+    first = float(prev)  # compile + sync
     if not np.isfinite(first):
-        raise RuntimeError("non-finite NLML in benchmark")
+        raise RuntimeError(f"non-finite NLML in benchmark: {first}")
 
-    times = []
-    for _ in range(4):
+    def timed_batch():
+        p = jnp.float32(0.0)
         t0 = time.perf_counter()
-        out = nlml_sweep(model, data, length_scales)
-        float(out[-1])
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        for _ in range(R):
+            p = nlml_step(model, data, p)
+        float(p)  # single sync
+        return time.perf_counter() - t0
+
+    timed_batch()  # one more warm batch
+    best = min(timed_batch() for _ in range(3))
 
     per_eval = best / R
     tflops = nlml_flops(N) / per_eval / 1e12
