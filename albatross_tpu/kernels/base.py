@@ -53,12 +53,20 @@ class CovarianceFunction(Module):
             raise TypeError(
                 f"covariance {self.name} is undefined for these feature types"
             )
-        if symmetric:
+        if symmetric and not self._symmetric_exact(X):
             # The reference fills the lower triangle and mirrors
             # (callers.hpp:107-129); symmetrizing removes epsilon-level
-            # asymmetry from the batched matmul path and protects Cholesky.
+            # asymmetry from matmul-reduction paths and protects Cholesky.
+            # Kernels whose formulas are elementwise-symmetric skip this
+            # (saves an N² transpose+add pass over HBM).
             result = 0.5 * (result + result.T)
         return result
+
+    def _symmetric_exact(self, X) -> bool:
+        """True when _matrix(X, X) is bitwise symmetric by construction.
+        Conservative default: composition nodes require all children exact;
+        leaves with purely elementwise formulas return True."""
+        return True
 
     def matrix_or_none(self, X, Y) -> Optional[jnp.ndarray]:
         X, x_meas = strip_measurement(X)
@@ -160,6 +168,9 @@ class SumKernel(CovarianceFunction):
             return a
         return a + b
 
+    def _symmetric_exact(self, X):
+        return self.lhs._symmetric_exact(X) and self.rhs._symmetric_exact(X)
+
     def _diag(self, X, x_meas):
         a = self.lhs._diag(X, x_meas)
         b = self.rhs._diag(X, x_meas)
@@ -196,6 +207,9 @@ class ProductKernel(CovarianceFunction):
         if b is None:
             return a
         return a * b
+
+    def _symmetric_exact(self, X):
+        return self.lhs._symmetric_exact(X) and self.rhs._symmetric_exact(X)
 
     def _diag(self, X, x_meas):
         a = self.lhs._diag(X, x_meas)

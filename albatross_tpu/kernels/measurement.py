@@ -30,6 +30,9 @@ class MeasurementOnly(CovarianceFunction):
             return inner
         return jnp.zeros_like(inner)
 
+    def _symmetric_exact(self, X):
+        return self.sub._symmetric_exact(X)
+
     def _diag(self, X, x_meas):
         inner = self.sub._diag(X, x_meas)
         if inner is None:

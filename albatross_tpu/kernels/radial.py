@@ -67,6 +67,7 @@ class _RadialKernel(CovarianceFunction):
 
     _length_scale_param: str
     _sigma_param: str
+    _profile_name: str = ""  # pallas profile tag ("" = no fused path)
     _ssr_points_per_length_scale: float = 10.0
 
     def _profile(self, distance, length_scale, sigma):
@@ -79,8 +80,46 @@ class _RadialKernel(CovarianceFunction):
 
     def _matrix(self, X, Y, x_meas, y_meas):
         ls, sigma = self._params_values()
+        fused = self._fused_matrix(X, Y, ls, sigma)
+        if fused is not None:
+            return fused
         d = self.distance_metric.pairwise(X, Y)
         return self._profile(d, ls, sigma)
+
+    def _fused_matrix(self, X, Y, ls, sigma):
+        """Fused Pallas gram tile kernel (TPU, f32, Euclidean, large N·M)."""
+        if not self._profile_name or not isinstance(
+            self.distance_metric, EuclideanDistance
+        ):
+            return None
+        import jax
+
+        from .. import config
+
+        Xl = jax.tree_util.tree_leaves(X)
+        Yl = jax.tree_util.tree_leaves(Y)
+        if len(Xl) != 1 or Xl[0].ndim > 2 or Yl[0].ndim > 2:
+            return None
+        n_elements = Xl[0].shape[0] * Yl[0].shape[0]
+        if not config.pallas_gram_enabled(n_elements, Xl[0].dtype):
+            return None
+        from ..ops.pallas_gram import fused_radial_gram
+
+        return fused_radial_gram(Xl[0], Yl[0], ls, sigma, self._profile_name)
+
+    def _symmetric_exact(self, X):
+        import jax
+
+        from .distances import RadialDistance
+
+        metric = self.distance_metric
+        if isinstance(metric, EuclideanDistance):
+            leaf = jax.tree_util.tree_leaves(X)[0]
+            d = 1 if leaf.ndim == 1 else leaf.shape[-1]
+            return d <= EuclideanDistance._BROADCAST_MAX_D
+        # RadialDistance is elementwise (norm differences); AngularDistance
+        # uses a matmul reduction whose transpose-exactness is not guaranteed.
+        return isinstance(metric, RadialDistance)
 
     def _diag(self, X, x_meas):
         ls, sigma = self._params_values()
@@ -110,6 +149,7 @@ class SquaredExponential(_RadialKernel):
 
     _length_scale_param = "squared_exponential_length_scale"
     _sigma_param = "sigma_squared_exponential"
+    _profile_name = "squared_exponential"
     _ssr_points_per_length_scale = 10.0
 
     def __init__(
@@ -138,9 +178,12 @@ class SquaredExponential(_RadialKernel):
 
     def _matrix(self, X, Y, x_meas, y_meas):
         ls, sigma = self._params_values()
+        fused = self._fused_matrix(X, Y, ls, sigma)
+        if fused is not None:
+            return fused
         metric = self.distance_metric
         if isinstance(metric, EuclideanDistance):
-            # Fused fast path: use d² directly, skipping sqrt+square.
+            # XLA fast path: use d² directly, skipping sqrt+square.
             d2 = metric.pairwise_squared(X, Y)
             safe = jnp.where(ls > 0.0, ls, 1.0)
             value = sigma * sigma * jnp.exp(-d2 / (safe * safe))
@@ -158,6 +201,7 @@ class Exponential(_RadialKernel):
 
     _length_scale_param = "exponential_length_scale"
     _sigma_param = "sigma_exponential"
+    _profile_name = "exponential"
     _ssr_points_per_length_scale = 20.0
 
     def __init__(
@@ -188,6 +232,7 @@ class Matern32(_RadialKernel):
 
     _length_scale_param = "matern_32_length_scale"
     _sigma_param = "sigma_matern_32"
+    _profile_name = "matern_32"
 
     def __init__(
         self,
@@ -232,6 +277,7 @@ class Matern52(_RadialKernel):
 
     _length_scale_param = "matern_52_length_scale"
     _sigma_param = "sigma_matern_52"
+    _profile_name = "matern_52"
 
     def __init__(
         self,
