@@ -24,7 +24,16 @@ Features = Any  # array or pytree-with-leading-axis
 
 
 def feature_count(features: Features) -> int:
-    """Leading-axis length shared by every leaf of the feature pytree."""
+    """Leading-axis length shared by every leaf of the feature pytree.
+
+    Structured wrappers (Measurement, TaggedBatch, LinearCombinationBatch)
+    report their own logical size.
+    """
+    if hasattr(features, "value") and type(features).__name__ == "Measurement":
+        return feature_count(features.value)
+    size = getattr(features, "size", None)
+    if isinstance(size, int):
+        return size
     leaves = jax.tree_util.tree_leaves(features)
     if not leaves:
         raise ValueError("empty feature pytree")

@@ -41,5 +41,6 @@ from .radial import (
     squared_exponential_covariance,
 )
 from .scaling import ScalingFunction, ScalingTerm
+from .variants import ForTag, TaggedBatch, for_tag
 
 __all__ = [k for k in dir() if not k.startswith("_")]

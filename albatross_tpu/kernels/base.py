@@ -68,9 +68,25 @@ class CovarianceFunction(Module):
         leaves with purely elementwise formulas return True."""
         return True
 
+    # -- variant-tag dispatch (kernels/variants.py) -------------------------
+    def _tagged_matrix(self, X, Y, tx, ty, x_meas, y_meas):
+        """Per-tag-pair block; plain kernels are tag-agnostic (they apply to
+        any sub-batch, like albatross templates accepting any type)."""
+        return self._matrix(X, Y, x_meas, y_meas)
+
+    def _tagged_diag(self, X, tx, x_meas):
+        return self._diag(X, x_meas)
+
     def matrix_or_none(self, X, Y) -> Optional[jnp.ndarray]:
         X, x_meas = strip_measurement(X)
         Y, y_meas = strip_measurement(Y)
+
+        from .variants import TaggedBatch, tagged_gram
+
+        if isinstance(X, TaggedBatch) or isinstance(Y, TaggedBatch):
+            if not isinstance(X, TaggedBatch):
+                return tagged_gram(self, Y, X, y_meas, x_meas).T
+            return tagged_gram(self, X, Y, x_meas, y_meas)
 
         x_lc = isinstance(X, LinearCombinationBatch)
         y_lc = isinstance(Y, LinearCombinationBatch)
@@ -103,6 +119,10 @@ class CovarianceFunction(Module):
 
     def diag(self, X) -> jnp.ndarray:
         X, x_meas = strip_measurement(X)
+        from .variants import TaggedBatch, tagged_diag
+
+        if isinstance(X, TaggedBatch):
+            return tagged_diag(self, X, x_meas)
         if isinstance(X, LinearCombinationBatch):
             # diag of C G Cᵀ per combination: small dense blocks.
             flat = X.flat_values()
@@ -171,6 +191,24 @@ class SumKernel(CovarianceFunction):
     def _symmetric_exact(self, X):
         return self.lhs._symmetric_exact(X) and self.rhs._symmetric_exact(X)
 
+    def _tagged_matrix(self, X, Y, tx, ty, x_meas, y_meas):
+        a = self.lhs._tagged_matrix(X, Y, tx, ty, x_meas, y_meas)
+        b = self.rhs._tagged_matrix(X, Y, tx, ty, x_meas, y_meas)
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
+    def _tagged_diag(self, X, tx, x_meas):
+        a = self.lhs._tagged_diag(X, tx, x_meas)
+        b = self.rhs._tagged_diag(X, tx, x_meas)
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a + b
+
     def _diag(self, X, x_meas):
         a = self.lhs._diag(X, x_meas)
         b = self.rhs._diag(X, x_meas)
@@ -210,6 +248,24 @@ class ProductKernel(CovarianceFunction):
 
     def _symmetric_exact(self, X):
         return self.lhs._symmetric_exact(X) and self.rhs._symmetric_exact(X)
+
+    def _tagged_matrix(self, X, Y, tx, ty, x_meas, y_meas):
+        a = self.lhs._tagged_matrix(X, Y, tx, ty, x_meas, y_meas)
+        b = self.rhs._tagged_matrix(X, Y, tx, ty, x_meas, y_meas)
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a * b
+
+    def _tagged_diag(self, X, tx, x_meas):
+        a = self.lhs._tagged_diag(X, tx, x_meas)
+        b = self.rhs._tagged_diag(X, tx, x_meas)
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a * b
 
     def _diag(self, X, x_meas):
         a = self.lhs._diag(X, x_meas)

@@ -46,10 +46,9 @@ class ZeroMean(MeanFunction):
         return "zero"
 
     def _mean(self, X):
-        import jax
+        from ..core.dataset import feature_count
 
-        n = jax.tree_util.tree_leaves(X)[0].shape[0]
-        return jnp.zeros((n,))
+        return jnp.zeros((feature_count(X),))
 
 
 class ConstantMean(MeanFunction):
@@ -61,11 +60,12 @@ class ConstantMean(MeanFunction):
         return "constant_mean"
 
     def _mean(self, X):
-        import jax
+        from ..core.dataset import feature_count
 
-        n = jax.tree_util.tree_leaves(X)[0].shape[0]
         v = self.mean_value.value
-        return jnp.full((n,), v, dtype=jnp.result_type(v, float))
+        return jnp.full(
+            (feature_count(X),), v, dtype=jnp.result_type(v, float)
+        )
 
 
 class LinearMean(MeanFunction):

@@ -33,6 +33,22 @@ class MeasurementOnly(CovarianceFunction):
     def _symmetric_exact(self, X):
         return self.sub._symmetric_exact(X)
 
+    def _tagged_matrix(self, X, Y, tx, ty, x_meas, y_meas):
+        inner = self.sub._tagged_matrix(X, Y, tx, ty, x_meas, y_meas)
+        if inner is None:
+            return None
+        if x_meas and y_meas:
+            return inner
+        return jnp.zeros_like(inner)
+
+    def _tagged_diag(self, X, tx, x_meas):
+        inner = self.sub._tagged_diag(X, tx, x_meas)
+        if inner is None:
+            return None
+        if x_meas:
+            return inner
+        return jnp.zeros_like(inner)
+
     def _diag(self, X, x_meas):
         inner = self.sub._diag(X, x_meas)
         if inner is None:
