@@ -31,9 +31,8 @@ def feature_count(features: Features) -> int:
     """
     if hasattr(features, "value") and type(features).__name__ == "Measurement":
         return feature_count(features.value)
-    size = getattr(features, "size", None)
-    if isinstance(size, int):
-        return size
+    if type(features).__name__ in ("TaggedBatch", "LinearCombinationBatch"):
+        return features.size
     leaves = jax.tree_util.tree_leaves(features)
     if not leaves:
         raise ValueError("empty feature pytree")
