@@ -3,8 +3,10 @@ from .dataset import (
     align_datasets,
     concatenate_datasets,
     concatenate_features,
+    deduplicate,
     feature_count,
     subset_features,
+    transform_dataset,
 )
 from .distributions import (
     JointDistribution,

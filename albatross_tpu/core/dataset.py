@@ -17,6 +17,7 @@ from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .distributions import MarginalDistribution, concatenate_marginals
 
@@ -129,6 +130,45 @@ def concatenate_datasets(
     for d in datasets:
         metadata.update(d.metadata)
     return RegressionDataset(features, targets, metadata)
+
+
+def deduplicate(dataset: RegressionDataset) -> RegressionDataset:
+    """Keep the LAST occurrence of each duplicated feature row
+    (dataset.hpp:86-106: indices that 'appear later' win)."""
+    leaves = jax.tree_util.tree_leaves(dataset.features)
+    X = np.asarray(jax.device_get(leaves[0]))
+    flat = X.reshape(X.shape[0], -1)
+    keep = []
+    seen: set = set()
+    for i in range(flat.shape[0] - 1, -1, -1):
+        key = flat[i].tobytes()
+        if key not in seen:
+            seen.add(key)
+            keep.append(i)
+    keep.reverse()
+    return dataset.subset(jnp.asarray(keep))
+
+
+def transform_dataset(matrix, dataset: RegressionDataset) -> RegressionDataset:
+    """matrix * dataset: apply a linear transform to features AND targets
+    (dataset.hpp operator*): features become LinearCombination rows, targets
+    are A μ with covariance diag(A Σ Aᵀ)."""
+    from ..kernels.features import LinearCombinationBatch
+
+    matrix = jnp.asarray(matrix)
+    n = dataset.size
+    values = jax.tree_util.tree_map(
+        lambda leaf: jnp.broadcast_to(
+            leaf[None, ...], (matrix.shape[0],) + leaf.shape
+        ),
+        dataset.features,
+    )
+    features = LinearCombinationBatch(values, matrix)
+    mean = matrix @ dataset.targets.mean
+    variance = (matrix * matrix) @ dataset.targets.get_variance()
+    return RegressionDataset(
+        features, MarginalDistribution(mean, variance), dict(dataset.metadata)
+    )
 
 
 def align_datasets(

@@ -48,6 +48,8 @@ class Module(ParameterHandlingMixin):
     def tree_flatten(self):
         dyn_keys, dyn_vals, static_items = [], [], []
         for key in sorted(self.__dict__):
+            if key == "_insights":  # side-channel metadata, not model state
+                continue
             value = self.__dict__[key]
             if _is_dynamic(value):
                 dyn_keys.append(key)
@@ -55,6 +57,15 @@ class Module(ParameterHandlingMixin):
             else:
                 static_items.append((key, value))
         return tuple(dyn_vals), (tuple(dyn_keys), tuple(static_items))
+
+    # -- insights (reference model.hpp:18,166: map<string,string>) ----------
+    @property
+    def insights(self) -> Dict[str, str]:
+        """Mutable string-map for run metadata; excluded from the pytree so
+        it never affects jit keys or gradients."""
+        if "_insights" not in self.__dict__:
+            object.__setattr__(self, "_insights", {})
+        return self.__dict__["_insights"]
 
     @classmethod
     def tree_unflatten(cls, aux, children):
