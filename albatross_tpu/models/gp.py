@@ -103,11 +103,15 @@ class GaussianProcess(ModelBase):
         mean: Optional[MeanFunction] = None,
         model_name: Optional[str] = None,
         jitter: float = 0.0,
+        safe_factorization: bool = False,
     ):
         self.covariance_function = covariance
         self.mean_function = mean if mean is not None else ZeroMean()
         self._model_name = model_name
         self.jitter = jitter
+        # auto-escalating jitter on Cholesky failure (the generalization of
+        # the reference's nugget-inflation safeguards, sparse_gp.hpp:348-352)
+        self.safe_factorization = safe_factorization
 
     @property
     def model_name(self) -> str:
@@ -135,9 +139,16 @@ class GaussianProcess(ModelBase):
         if targets.variance is not None:
             cov = cov + jnp.diag(targets.variance)
         zero_mean = self.mean_function.remove_from(measurements, targets.mean)
-        chol = CholeskyFactor.factorize(cov, jitter=self.jitter)
+        chol = self._factorize(cov)
         information = chol.solve(zero_mean)
         return GPFit(features, chol, information)
+
+    def _factorize(self, cov) -> CholeskyFactor:
+        if self.safe_factorization:
+            return CholeskyFactor.factorize_safe(
+                cov, initial_jitter=self.jitter
+            )
+        return CholeskyFactor.factorize(cov, jitter=self.jitter)
 
     # -- predictions (gp.hpp:305-366) ---------------------------------------
     def _cross(self, fit: GPFit, features):
@@ -218,7 +229,7 @@ class GaussianProcess(ModelBase):
             measurements, dataset.targets.mean
         )
         cov = self.covariance_function(measurements)
-        chol = CholeskyFactor.factorize(cov, jitter=self.jitter)
+        chol = self._factorize(cov)
         ll = -negative_log_likelihood(zero_mean, chol)
         return ll + self.prior_log_likelihood()
 

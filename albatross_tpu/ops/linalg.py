@@ -53,6 +53,54 @@ class CholeskyFactor:
             return cls(blocked_cholesky(K))
         return cls(jnp.linalg.cholesky(K))
 
+    @classmethod
+    def factorize_safe(
+        cls,
+        K: jnp.ndarray,
+        initial_jitter: float = 0.0,
+        max_tries: int = 6,
+        jitter_growth: float = 100.0,
+    ) -> "CholeskyFactor":
+        """Factorize with automatic jitter escalation (traceable).
+
+        The numerical analog of the reference's nugget-inflation safeguards
+        (sparse_gp.hpp:348-352) generalized to any SPD factorization: if the
+        Cholesky produces non-finite diagonals, retry with jitter escalated
+        ×jitter_growth, up to max_tries.  One factorization in the common
+        case; the loop re-runs only on failure.
+        """
+        K = _sym(jnp.asarray(K))
+        n = K.shape[0]
+        eye = jnp.eye(n, dtype=K.dtype)
+        base = jnp.asarray(
+            initial_jitter
+            if initial_jitter > 0
+            else float(jnp.finfo(K.dtype).eps),
+            dtype=K.dtype,
+        )
+
+        def attempt(jitter, use_jitter):
+            L = jnp.linalg.cholesky(
+                K + jnp.where(use_jitter, jitter, 0.0) * eye
+            )
+            ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+            return L, ok
+
+        def cond(state):
+            _, ok, tries, _ = state
+            return (~ok) & (tries < max_tries)
+
+        def body(state):
+            _, _, tries, jitter = state
+            L, ok = attempt(jitter, True)
+            return L, ok, tries + 1, jitter * jitter_growth
+
+        L0, ok0 = attempt(base, initial_jitter > 0)
+        L, _, _, _ = jax.lax.while_loop(
+            cond, body, (L0, ok0, jnp.asarray(0), base)
+        )
+        return cls(L)
+
     @property
     def shape(self):
         return self.L.shape

@@ -234,3 +234,22 @@ def test_prior(rng):
     np.testing.assert_allclose(
         np.asarray(jnp.diagonal(prior.covariance)), 1.0 + 0.04, rtol=1e-10
     )
+
+
+def test_safe_factorization_handles_singular_gram(rng):
+    """Duplicate features with no noise make K singular; safe factorization
+    escalates jitter instead of producing NaNs (the generalized analog of
+    the reference's nugget safeguards, sparse_gp.hpp:348-352)."""
+    x = jnp.asarray([1.0, 1.0, 2.0, 3.0])  # exact duplicate, no noise kernel
+    y = jnp.asarray([0.5, 0.5, 1.0, -0.2])
+    data = RegressionDataset.create(x, y)
+    kernel = SquaredExponential(length_scale=2.0, sigma=1.0)
+
+    unsafe = gp_from_covariance(kernel)
+    pred_unsafe = unsafe.fit(data).predict(jnp.asarray([1.5])).marginal()
+    safe = gp_from_covariance(kernel, safe_factorization=True)
+    pred_safe = safe.fit(data).predict(jnp.asarray([1.5])).marginal()
+    assert np.all(np.isfinite(np.asarray(pred_safe.mean)))
+    assert np.all(np.isfinite(np.asarray(pred_safe.variance)))
+    # the NLML is finite too
+    assert np.isfinite(float(safe.log_likelihood(data)))

@@ -207,3 +207,31 @@ def test_sample_mvn(rng):
     emp_cov = np.cov(np.asarray(samples).T)
     np.testing.assert_allclose(emp_mean, [1.0, -1.0], atol=0.05)
     np.testing.assert_allclose(emp_cov, cov, atol=0.08)
+
+
+def test_eigen_direction_diagnostics():
+    from albatross_tpu.ops.diagnostics import (
+        print_large_eigen_directions,
+        print_small_eigen_directions,
+    )
+
+    v = np.asarray([1.0, 1.0, 0.0, 0.0])
+    A = np.eye(4) + 10.0 * np.outer(v, v)
+    small = print_small_eigen_directions(A, k=1)
+    large = print_large_eigen_directions(A, k=1)
+    assert "smallest eigenvalue" in small
+    assert "largest eigenvalue" in large
+    # the dominant direction of the large eigenvector is indices 0/1
+    assert "index 0" in large and "index 1" in large
+
+
+def test_safe_cholesky_escalation():
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    v = jnp.asarray([1.0, 2.0, 3.0])
+    K = jnp.outer(v, v)  # rank one
+    chol = CholeskyFactor.factorize_safe(K)
+    assert bool(chol.is_positive_definite())
+    # reconstruction error stays at jitter scale
+    err = float(jnp.max(jnp.abs(chol.L @ chol.L.T - K)))
+    assert err < 1e-6
