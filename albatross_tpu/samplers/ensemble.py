@@ -203,10 +203,18 @@ def ensemble_sampler_from_model(
     key,
     jitter_sd: float = 0.1,
     callback: Optional[Callable] = None,
+    mesh=None,
+    mesh_axis: str = "chain",
 ) -> EnsembleChain:
     """Model-level driver (ensemble.hpp:166-186): logp(x) =
     model.set_tunable_params(x).log_likelihood(dataset), vmapped over
-    walkers."""
+    walkers.
+
+    Pass a ``jax.sharding.Mesh`` to shard the walker batch across devices:
+    each chip evaluates its walkers' NLMLs (batched gram + Cholesky)
+    locally — chain parallelism over ICI, the capability the reference's
+    serial walker loop could never have (SURVEY.md §2.12 checklist).
+    """
     if isinstance(key, int):
         key = jax.random.PRNGKey(key)
     k_init, k_run = jax.random.split(key)
@@ -220,7 +228,23 @@ def ensemble_sampler_from_model(
         m = model.set_params(set_tunable_params(params0, x))
         return m.log_likelihood(dataset)
 
-    log_prob_fn = jax.jit(jax.vmap(single_log_prob))
+    batched = jax.vmap(single_log_prob)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(mesh_axis))
+
+        def log_prob_fn(walkers):
+            walkers = jax.lax.with_sharding_constraint(
+                walkers,
+                NamedSharding(mesh, P(mesh_axis, None)),
+            )
+            return jax.lax.with_sharding_constraint(batched(walkers), sharding)
+
+        log_prob_fn = jax.jit(log_prob_fn)
+    else:
+        log_prob_fn = jax.jit(batched)
     return ensemble_sampler(
         log_prob_fn, initial, max_iterations, k_run, callback=callback
     )

@@ -152,3 +152,24 @@ def test_indivisible_shapes_raise(mesh, rng):
     A = jnp.asarray(spd_matrix(rng, 30))  # 30 % 8 != 0
     with pytest.raises(ValueError, match="not divisible"):
         distributed_cholesky(A, mesh)
+
+
+def test_sharded_sampler_matches_unsharded(mesh, rng):
+    """Walker sharding across the mesh changes placement, not the chain."""
+    from albatross_tpu.samplers import ensemble_sampler_from_model
+
+    n = 12
+    x = np.sort(rng.uniform(0, 10, n))
+    data = RegressionDataset.create(jnp.asarray(x), jnp.asarray(np.sin(x)))
+    model = gp_from_covariance(
+        SquaredExponential(2.0, 1.0) + IndependentNoise(0.2)
+    )
+    kwargs = dict(n_walkers=16, max_iterations=8, key=7)
+    plain = ensemble_sampler_from_model(model, data, **kwargs)
+    sharded = ensemble_sampler_from_model(
+        model, data, mesh=mesh, mesh_axis="data", **kwargs
+    )
+    np.testing.assert_allclose(
+        plain.log_prob, sharded.log_prob, rtol=1e-10
+    )
+    np.testing.assert_allclose(plain.params, sharded.params, rtol=1e-10)
