@@ -10,7 +10,21 @@ assembly on the MXU, blocked Cholesky, mesh-sharded scaling via
 pjit/shard_map, and vmapped fold/walker parallelism.
 """
 
-from . import core, kernels, models, ops
+from . import (
+    config,
+    core,
+    evaluation,
+    indexing,
+    kernels,
+    models,
+    ops,
+    parallel,
+    samplers,
+    serialize,
+    stats,
+    tuning,
+    utils,
+)
 from .core import (
     FixedPrior,
     GaussianPrior,
@@ -29,6 +43,8 @@ from .core import (
 )
 from .kernels import (
     AngularDistance,
+    ForTag,
+    TaggedBatch,
     Constant,
     EuclideanDistance,
     Exponential,

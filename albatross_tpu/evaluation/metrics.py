@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.distributions import JointDistribution, MarginalDistribution
-from ..models.base import Prediction
 from ..ops.linalg import CholeskyFactor
 from ..stats.chi_squared import chi_squared_cdf as _chi2_cdf_dense
 
@@ -36,6 +35,8 @@ def _mean_vector(prediction):
 
 
 def _resolve(prediction, required_type):
+    from ..models.base import Prediction  # lazy: models imports metrics
+
     if isinstance(prediction, Prediction):
         return prediction.get(required_type)
     return prediction
