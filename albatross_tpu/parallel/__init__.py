@@ -9,7 +9,7 @@ from .gp import (
     DistributedGaussianProcess,
     distributed_gp_from_covariance,
 )
-from .gram import sharded_cross_gram, sharded_gram
+from .gram import sharded_cross_gram, sharded_gram, sharded_gram_2d
 from .mesh import make_mesh, pad_to_multiple, replicated, row_sharded, vector_sharded
 
 __all__ = [k for k in dir() if not k.startswith("_")]

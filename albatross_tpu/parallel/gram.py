@@ -70,6 +70,57 @@ def sharded_gram(
     return fn(kernel, X, X, target_variance)
 
 
+def _gram_tile(kernel, X_rows, X_cols, variance_rows, *, measurement, br, bc, row_axis, col_axis):
+    Xr = Measurement(X_rows) if measurement else X_rows
+    Xc = Measurement(X_cols) if measurement else X_cols
+    tile = kernel.matrix_or_none(Xr, Xc)
+    if tile is None:
+        raise TypeError("covariance undefined for these features")
+    if variance_rows is not None:
+        my_r = jax.lax.axis_index(row_axis)
+        my_c = jax.lax.axis_index(col_axis)
+        rows = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0) + my_r * br
+        cols = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + my_c * bc
+        tile = tile + jnp.where(rows == cols, variance_rows[:, None], 0.0)
+    return tile
+
+
+def sharded_gram_2d(
+    kernel: CovarianceFunction,
+    X,
+    mesh: Mesh,
+    row_axis: str = "data",
+    col_axis: str = "model",
+    measurement: bool = False,
+    target_variance: Optional[jnp.ndarray] = None,
+):
+    """(N, N) Gram matrix block-sharded over a 2-D mesh — the TP-analog
+    decomposition (SURVEY.md §2 checklist): device (i, j) computes and owns
+    only its (N/R, N/C) tile, so per-device Gram memory scales as N²/(R·C)
+    instead of N²/R.  Features replicate (they are O(N·D), tiny next to K)."""
+    n = jax.tree_util.tree_leaves(X)[0].shape[0]
+    R, C = mesh.shape[row_axis], mesh.shape[col_axis]
+    if n % R != 0 or n % C != 0:
+        raise ValueError(f"N={n} not divisible by mesh axes ({R}, {C})")
+    br, bc = n // R, n // C
+
+    var_spec = P(row_axis) if target_variance is not None else None
+    fn = jax.shard_map(
+        functools.partial(
+            _gram_tile,
+            measurement=measurement,
+            br=br,
+            bc=bc,
+            row_axis=row_axis,
+            col_axis=col_axis,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(row_axis), P(col_axis), var_spec),
+        out_specs=P(row_axis, col_axis),
+    )
+    return fn(kernel, X, X, target_variance)
+
+
 def sharded_cross_gram(
     kernel: CovarianceFunction,
     X_train,

@@ -173,3 +173,25 @@ def test_sharded_sampler_matches_unsharded(mesh, rng):
         plain.log_prob, sharded.log_prob, rtol=1e-10
     )
     np.testing.assert_allclose(plain.params, sharded.params, rtol=1e-10)
+
+
+def test_sharded_gram_2d_matches_dense(rng):
+    """2-D block sharding of K (TP-analog): per-device tiles assemble to
+    the dense gram."""
+    from albatross_tpu.parallel import sharded_gram_2d
+
+    mesh2d = make_mesh(8, ("data", "model"), shape=(4, 2))
+    n = 40
+    x = jnp.asarray(np.sort(rng.uniform(0, 10, n)))
+    kernel = SquaredExponential(1.5, 1.0) + measurement_only(
+        IndependentNoise(0.2)
+    )
+    var = jnp.full((n,), 0.01)
+    K = sharded_gram_2d(
+        kernel, x, mesh2d, measurement=True, target_variance=var
+    )
+    K_ref = np.asarray(kernel(as_measurement(x))) + 0.01 * np.eye(n)
+    np.testing.assert_allclose(np.asarray(K), K_ref, rtol=1e-12)
+    # placement: each device holds a (10, 20) tile
+    db = K.sharding.shard_shape(K.shape)
+    assert db == (10, 20)
