@@ -21,7 +21,6 @@ with one broadcast per panel.  All collectives are XLA primitives inside
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +55,6 @@ def _local_chol_step(A_local, k, b, G, axis):
     # row masks
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     below = row_ids >= (k + 1) * b
-    in_diag = (row_ids >= k * b) & below.__invert__() & (row_ids >= k * b)
 
     # assemble this panel's final L values: diag rows -> L_kk, below -> panel,
     # above -> 0
@@ -77,13 +75,10 @@ def _local_chol_step(A_local, k, b, G, axis):
         0.0,
     )
     L_below = jnp.where(below, panel, 0.0)  # (N, b), zero above/diag
-    update = L_mine @ L_below.T  # (b, N)
-    # only columns > k*b+b should be touched; L_below already zeroes others
-    A_local = A_local - update
-    # restore the column block k we just overwrote (update touched it with 0s
-    # only since L_below rows < (k+1)b are zero, columns k*b..(k+1)b of
-    # update are L_mine @ panel_rows_in_diag... those rows were zeroed, so
-    # safe)
+    # L_below zeroes all rows ≤ the diagonal block, so this touches only
+    # trailing columns — finalized panels (including block k itself) see a
+    # zero update.
+    A_local = A_local - L_mine @ L_below.T
     return A_local
 
 
