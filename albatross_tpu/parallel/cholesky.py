@@ -221,3 +221,24 @@ def distributed_log_determinant(L, mesh: Mesh, axis: str = "data"):
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P()
     )
     return fn(L)
+
+
+def distributed_inverse_diagonal(L, mesh: Mesh, axis: str = "data"):
+    """diag(A⁻¹) with A = L Lᵀ row-sharded — the engine of fast LOO CV under
+    sharding (SURVEY.md §7 'hard parts').
+
+    Strategy: for each column panel j, forward-substitute L X = E_j (the
+    identity panel) with the existing distributed solver; the diagonal
+    contribution of panel j is the per-column squared norm of X.  G panel
+    solves ≈ one full inverse worth of FLOPs, all MXU-tiled.
+    """
+    G = mesh.shape[axis]
+    n = L.shape[0]
+    b = n // G
+    parts = []
+    eye = jnp.eye(n, dtype=L.dtype)
+    for j in range(G):
+        rhs = eye[:, j * b : (j + 1) * b]
+        x = distributed_sqrt_solve(L, rhs, mesh, axis)
+        parts.append(jnp.sum(x * x, axis=0))
+    return jnp.concatenate(parts)

@@ -28,6 +28,7 @@ from ..models.base import FitModel
 from ..models.gp import GaussianProcess, GPFit
 from .cholesky import (
     distributed_cholesky,
+    distributed_inverse_diagonal,
     distributed_log_determinant,
     distributed_solve,
     distributed_sqrt_solve,
@@ -61,6 +62,9 @@ class DistributedCholesky:
 
     def log_determinant(self):
         return distributed_log_determinant(self.L, self.mesh, self.axis)
+
+    def inverse_diagonal(self):
+        return distributed_inverse_diagonal(self.L, self.mesh, self.axis)
 
 
 class DistributedGaussianProcess(GaussianProcess):

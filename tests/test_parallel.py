@@ -195,3 +195,55 @@ def test_sharded_gram_2d_matches_dense(rng):
     # placement: each device holds a (10, 20) tile
     db = K.sharding.shard_shape(K.shape)
     assert db == (10, 20)
+
+
+def test_distributed_inverse_diagonal(mesh, rng):
+    """Fast LOO under sharding: diag(A^-1) from the row-sharded factor."""
+    from albatross_tpu.parallel import (
+        distributed_inverse_diagonal,
+    )
+
+    n = 32
+    A = jnp.asarray(spd_matrix(rng, n))
+    L = distributed_cholesky(A, mesh)
+    d = distributed_inverse_diagonal(L, mesh)
+    ref = np.diagonal(np.linalg.inv(np.asarray(A)))
+    np.testing.assert_allclose(np.asarray(d), ref, rtol=1e-8)
+
+
+def test_distributed_loo_cv_matches_single_chip(mesh, rng):
+    """The LOO fast path runs against the distributed factorization and
+    matches the single-chip result (SURVEY §7 hard-part)."""
+    from albatross_tpu.evaluation.cross_validation_utils import (
+        held_out_predictions,
+    )
+    from albatross_tpu.indexing import LeaveOneOutGrouper, group_by
+
+    n = 24
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    data = RegressionDataset.create(
+        jnp.asarray(x), jnp.asarray(y), variance=jnp.full((n,), 0.01)
+    )
+    kernel = SquaredExponential(1.5, 1.0) + measurement_only(
+        IndependentNoise(0.2)
+    )
+    single = gp_from_covariance(kernel)
+    multi = distributed_gp_from_covariance(kernel, mesh)
+    indexers = group_by(data, LeaveOneOutGrouper()).indexers()
+
+    fast_single = single.cross_validated_predictions(data, indexers, None)
+    fit8 = multi.fit(data)
+    fast_multi = held_out_predictions(
+        fit8.fit.train_covariance,
+        data.targets.mean,
+        fit8.fit.information,
+        indexers,
+        None,
+    )
+    for key in indexers:
+        np.testing.assert_allclose(
+            np.asarray(fast_multi[key]),
+            np.asarray(fast_single[key]),
+            rtol=1e-8,
+        )
