@@ -43,3 +43,7 @@ def test_sampler_example(tmp_path):
         ],
     )
     assert (tmp_path / "chains.csv").exists()
+
+
+def test_inspection_example():
+    run_example("examples.inspection", [])
