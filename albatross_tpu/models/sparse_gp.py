@@ -66,8 +66,10 @@ class UniformlySpacedInducingPoints:
         self.num_points = num_points
 
     def __call__(self, covariance, features):
-        x = np.asarray(jax.device_get(features)).reshape(-1)
-        return jnp.linspace(float(x.min()), float(x.max()), self.num_points)
+        # traceable (min/max of traced features is fine; num_points static),
+        # so sparse fits can live inside jit
+        x = jnp.asarray(features).reshape(-1)
+        return jnp.linspace(jnp.min(x), jnp.max(x), self.num_points)
 
 
 class StateSpaceInducingPointStrategy:
@@ -123,15 +125,26 @@ class SparseGPFit:
         )
 
 
-def _qr_r_and_v(B: jnp.ndarray, y_augmented: jnp.ndarray):
-    """QR of tall B; returns (R with safeguard inflation, v = R⁻¹Q₁ᵀy, rank)."""
-    Q, R = jnp.linalg.qr(B, mode="reduced")
+def _numerical_rank(R: jnp.ndarray, rows: int):
     diag = jnp.abs(jnp.diagonal(R))
-    tol = jnp.finfo(R.dtype).eps * B.shape[0] * jnp.max(diag)
-    rank = int(jnp.sum(diag > tol))
-    if rank < R.shape[0]:
-        # reference safeguard: inflate R's diagonal against singularity
-        R = R + SPARSE_R_NUGGET * jnp.eye(R.shape[0], dtype=R.dtype)
+    tol = jnp.finfo(R.dtype).eps * rows * jnp.max(diag)
+    return jnp.sum(diag > tol)
+
+
+def _qr_r_and_v(B: jnp.ndarray, y_augmented: jnp.ndarray):
+    """QR of tall B; returns (R with safeguard inflation, v = R⁻¹Q₁ᵀy, rank).
+
+    Fully traceable: the reference's rank-deficiency safeguard (inflate R's
+    diagonal, sparse_gp.hpp:348-352) applies via a where so sparse fits work
+    under jit; the returned rank is a python int eagerly, -1 when traced.
+    """
+    m = B.shape[1]
+    Q, R = jnp.linalg.qr(B, mode="reduced")
+    rank_arr = _numerical_rank(R, B.shape[0])
+    R = R + jnp.where(rank_arr < m, SPARSE_R_NUGGET, 0.0) * jnp.eye(
+        m, dtype=R.dtype
+    )
+    rank = -1 if isinstance(rank_arr, jax.core.Tracer) else int(rank_arr)
     v = solve_triangular(R, Q.T @ y_augmented, lower=False)
     return R, v, rank
 
@@ -365,9 +378,8 @@ class SparseGaussianProcessRegression(ModelBase):
         C_chol = CholeskyFactor.factorize(cov)
         sigma_inv_sqrt = C_chol.sqrt_solve(K_zz)
         Q, R = jnp.linalg.qr(sigma_inv_sqrt, mode="reduced")
-        diag = jnp.abs(jnp.diagonal(R))
-        tol = jnp.finfo(R.dtype).eps * R.shape[0] * jnp.max(diag)
-        rank = int(jnp.sum(diag > tol))
+        rank_arr = _numerical_rank(R, R.shape[0])
+        rank = -1 if isinstance(rank_arr, jax.core.Tracer) else int(rank_arr)
         fit = SparseGPFit(
             new_inducing_points, train_covariance, R, information, rank
         )

@@ -221,3 +221,26 @@ def test_sparse_with_duplicate_inducing_information(rng):
     )
     pred = model.fit(data).predict(jnp.linspace(1, 9, 5)).marginal()
     assert np.all(np.isfinite(np.asarray(pred.mean)))
+
+
+def test_sparse_fit_predict_under_jit(rng):
+    """Sparse fit/predict must be jittable end-to-end (the rank safeguard
+    applies via where; the stored rank degrades to -1 under tracing)."""
+    import jax
+
+    data = make_data(rng, 20)
+    model = sparse_model(8)
+    xs = jnp.linspace(0.5, 9.5, 5)
+
+    @jax.jit
+    def fit_predict(m, d, q):
+        fm = m.fit(d)
+        marg = fm.predict(q).marginal()
+        return marg.mean, marg.variance
+
+    mean, var = fit_predict(model, data, xs)
+    eager = model.fit(data).predict(xs).marginal()
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(eager.mean), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(var), np.asarray(eager.variance), rtol=1e-9
+    )
