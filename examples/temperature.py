@@ -173,6 +173,36 @@ def main() -> int:
         f"mean stddev {float(jnp.mean(jnp.sqrt(pred.variance))):.2f}"
     )
     assert loo_rmse < climatology_rmse, "GP should beat climatology"
+
+    # --- RANSAC outlier rejection (BASELINE temperature config) -----------
+    import albatross_tpu as ab_  # noqa: F401  (clarity)
+    from albatross_tpu.models import DefaultGPRansacStrategy, ransac_success
+
+    bad = np.asarray(data.targets.mean).copy()
+    bad_idx = rng.choice(args.stations, 4, replace=False)
+    bad[bad_idx] += rng.choice([-1, 1], 4) * rng.uniform(15.0, 25.0, 4)
+    contaminated = ab.RegressionDataset.create(
+        data.features, jnp.asarray(bad), variance=data.targets.variance
+    )
+    config = ab.RansacConfig(
+        inlier_threshold=4.0,
+        random_sample_size=8,
+        min_consensus_size=int(0.7 * args.stations),
+        max_iterations=12,
+        max_failed_candidates=12,
+    )
+    rfit = model.ransac(DefaultGPRansacStrategy(), config).fit(contaminated)
+    out = rfit.fit.ransac_output
+    rejected = sorted(set(range(args.stations)) - set(out.best.consensus()))
+    print(
+        f"RANSAC: {out.return_code.name}, rejected stations {rejected} "
+        f"(injected outliers at {sorted(int(i) for i in bad_idx)})"
+    )
+    assert ransac_success(out.return_code)
+    caught = set(int(i) for i in bad_idx) & set(rejected)
+    # an isolated station's outlier can be statistically unidentifiable at
+    # low station counts, so require most (not all) injected outliers caught
+    assert len(caught) >= 3, f"only caught {sorted(caught)}"
     return 0
 
 
