@@ -66,3 +66,45 @@ def blocked_cholesky(
             col = col - Lrows @ Lj.T
             A = jax.lax.dynamic_update_slice(A, col, (j0, j0))
     return jnp.tril(A)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def blocked_cholesky_cols(
+    K: jnp.ndarray, block_size: int = DEFAULT_BLOCK
+) -> jnp.ndarray:
+    """Column-panel-layout variant of ``blocked_cholesky``.
+
+    The loop carries a python list of (n, b) column panels instead of one
+    (n, n) array, so each trailing update rewrites only the touched panel
+    (n·b copy) rather than forcing XLA to materialize a fresh n×n buffer —
+    ~6× less copy traffic for 8 panels.  Trailing GEMMs slice to the needed
+    rows, so FLOPs are exactly n³/3 + panel terms.
+    """
+    n = K.shape[0]
+    b = block_size
+    if n <= b:
+        return jnp.linalg.cholesky(K)
+    if n % b != 0:
+        return blocked_cholesky(K, b)
+
+    G = n // b
+    cols = [
+        jax.lax.slice(K, (0, k * b), (n, (k + 1) * b)) for k in range(G)
+    ]
+    for k in range(G):
+        k0 = k * b
+        col = cols[k]
+        Akk = col[k0 : k0 + b]
+        Lkk = jnp.linalg.cholesky(Akk)
+        W = solve_triangular(Lkk, jnp.eye(b, dtype=K.dtype), lower=True)
+        below = col[k0 + b :] @ W.T  # (n - k0 - b, b)
+        cols[k] = jnp.concatenate(
+            [jnp.zeros((k0, b), dtype=K.dtype), Lkk, below], axis=0
+        )
+        for j in range(k + 1, G):
+            j0 = j * b
+            Lj = below[j0 - k0 - b : j0 - k0]  # (b, b): panel rows of block j
+            Lrows = below[j0 - k0 - b :]  # rows j0.. of column k
+            updated = cols[j][j0:] - Lrows @ Lj.T
+            cols[j] = jnp.concatenate([cols[j][:j0], updated], axis=0)
+    return jnp.tril(jnp.concatenate(cols, axis=1))
