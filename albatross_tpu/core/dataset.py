@@ -45,8 +45,56 @@ def feature_count(features: Features) -> int:
 
 
 def subset_features(features: Features, indices) -> Features:
+    """Row-subset a feature batch; wrapper-aware (a TaggedBatch subsets by
+    its *original interleaved* positions, not per-leaf positions)."""
+    if type(features).__name__ == "Measurement":
+        from ..kernels.features import Measurement
+
+        return Measurement(subset_features(features.value, indices))
+    if type(features).__name__ == "TaggedBatch":
+        return _subset_tagged(features, indices)
     indices = jnp.asarray(indices)
     return jax.tree_util.tree_map(lambda leaf: leaf[indices], features)
+
+
+def _subset_tagged(batch, indices):
+    """Subset a TaggedBatch by original interleaved positions (host-side
+    index math — this reshapes *structure*, which must be static)."""
+    import numpy as _np
+
+    from ..kernels.features import Measurement  # noqa: F401
+
+    idx = _np.asarray(jax.device_get(jnp.asarray(indices)))
+    order = _np.asarray(batch.order)
+    counts = batch.counts()
+    # position within the concatenated sub-batches for each original index
+    pos_of_original = _np.empty(order.shape[0], dtype=_np.int64)
+    pos_of_original[order] = _np.arange(order.shape[0])
+    offsets = _np.concatenate([[0], _np.cumsum(counts)])
+
+    new_features = []
+    new_tags = []
+    kept_per_tag = []
+    for t_i, tag in enumerate(batch.tags):
+        lo, hi = offsets[t_i], offsets[t_i + 1]
+        positions = pos_of_original[idx]
+        in_tag = (positions >= lo) & (positions < hi)
+        local = positions[in_tag] - lo
+        if local.shape[0] == 0:
+            continue
+        new_tags.append(tag)
+        new_features.append(
+            jax.tree_util.tree_map(
+                lambda leaf: leaf[jnp.asarray(local)], batch.features[t_i]
+            )
+        )
+        kept_per_tag.append(_np.nonzero(in_tag)[0])
+    # new order: for each kept row (in new concatenated layout), its position
+    # within the *selected* index list
+    new_order = _np.concatenate(kept_per_tag) if kept_per_tag else _np.zeros(0, int)
+    return type(batch)(
+        tuple(new_tags), tuple(new_features), tuple(int(i) for i in new_order)
+    )
 
 
 def concatenate_features(feature_list: Sequence[Features]) -> Features:

@@ -1,0 +1,79 @@
+"""Property-based sanity: PSD-ness of composed kernels, pytree round trips,
+jit-cache stability — the analog of the reference's trait/compile-time
+suites (tests/test_traits_*.cc) for a runtime-typed design."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from albatross_tpu import (
+    Constant,
+    Exponential,
+    IndependentNoise,
+    Matern32,
+    Matern52,
+    Nugget,
+    Polynomial,
+    SquaredExponential,
+    as_measurement,
+)
+
+KERNEL_FACTORIES = [
+    lambda: SquaredExponential(1.5, 1.0),
+    lambda: Exponential(2.0, 0.7),
+    lambda: Matern32(1.0, 1.2),
+    lambda: Matern52(3.0, 0.5),
+    lambda: Constant(2.0),
+    lambda: Polynomial(2, 0.5),
+    lambda: IndependentNoise(0.3),
+    lambda: Nugget(),
+    lambda: SquaredExponential(1.0, 1.0) + Constant(1.0),
+    lambda: Matern32(2.0, 1.0) * Exponential(1.0, 1.0),
+    lambda: (SquaredExponential(0.5, 2.0) + IndependentNoise(0.1))
+    * Constant(0.5),
+]
+
+
+@pytest.mark.parametrize("i", range(len(KERNEL_FACTORIES)))
+def test_gram_is_psd(i, rng):
+    """Every kernel and composition must produce a PSD gram on random
+    inputs (the mathematical contract behind every downstream Cholesky)."""
+    k = KERNEL_FACTORIES[i]()
+    X = jnp.asarray(np.sort(rng.uniform(-5, 5, 25)))
+    K = np.asarray(k(as_measurement(X)))
+    np.testing.assert_allclose(K, K.T, atol=1e-12)
+    eigs = np.linalg.eigvalsh(K)
+    assert eigs.min() > -1e-8 * max(1.0, eigs.max()), k.name
+
+
+@pytest.mark.parametrize("i", range(len(KERNEL_FACTORIES)))
+def test_kernel_pytree_round_trip(i):
+    k = KERNEL_FACTORIES[i]()
+    leaves, treedef = jax.tree_util.tree_flatten(k)
+    k2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert k2.name == k.name
+    assert sorted(k2.get_params()) == sorted(k.get_params())
+    # structure (treedef) is stable: same class+config -> same treedef, so
+    # jit caches hit across functional updates
+    k3 = k.set_tunable_params(k.get_tunable_parameters().values)
+    _, treedef3 = jax.tree_util.tree_flatten(k3)
+    assert treedef3 == treedef
+
+
+def test_param_update_does_not_retrigger_trace(rng):
+    """Changing parameter *values* must reuse the compiled computation."""
+    traces = []
+
+    k = SquaredExponential(1.0, 1.0) + IndependentNoise(0.2)
+    X = jnp.asarray(np.sort(rng.uniform(0, 5, 10)))
+
+    @jax.jit
+    def gram_sum(kern, X):
+        traces.append(1)
+        return jnp.sum(kern(X))
+
+    gram_sum(k, X)
+    gram_sum(k.set_param_value("squared_exponential_length_scale", 2.0), X)
+    gram_sum(k.set_param_value("sigma_independent_noise", 0.5), X)
+    assert len(traces) == 1  # one trace, three executions

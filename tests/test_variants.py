@@ -119,3 +119,24 @@ def test_gp_over_tagged_batch(rng):
     # predict a tagged batch
     pred2 = fit_model.predict(batch).marginal()
     assert np.all(np.isfinite(np.asarray(pred2.mean)))
+
+
+def test_tagged_batch_subset(rng):
+    """Dataset subsetting over tagged features preserves per-row identity."""
+    batch, tags, positions, bias_ids = make_tagged(rng)
+    n = len(tags)
+    y = jnp.arange(float(n))
+    data = RegressionDataset.create(batch, y)
+
+    pick = jnp.asarray([0, 2, 5, 8])
+    sub = data.subset(pick)
+    assert sub.size == 4
+    np.testing.assert_allclose(np.asarray(sub.targets.mean), [0.0, 2.0, 5.0, 8.0])
+
+    # gram over the subset == corresponding block of the full gram
+    k = mixed_kernel()
+    K_full = np.asarray(k(batch))
+    K_sub = np.asarray(k(sub.features))
+    np.testing.assert_allclose(
+        K_sub, K_full[np.ix_(np.asarray(pick), np.asarray(pick))], rtol=1e-10
+    )
