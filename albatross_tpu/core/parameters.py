@@ -20,7 +20,7 @@ reparameterized) optimization objective can live under one ``jit``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Mapping
+from typing import Dict, List, Mapping
 
 import jax
 import jax.numpy as jnp

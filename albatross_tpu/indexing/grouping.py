@@ -13,7 +13,7 @@ axis where sizes are uniform, replacing the reference's ThreadPool loop.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Generic, List, Sequence, TypeVar
+from typing import Callable, Dict, Generic, List, Sequence, TypeVar
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ the training covariance but not in train/test or test/test covariances).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .base import CovarianceFunction

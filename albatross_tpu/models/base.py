@@ -15,7 +15,7 @@ process parallelism is XLA's job, cross-chip parallelism is the mesh layer's
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict
+from typing import Any
 
 import jax
 

@@ -9,7 +9,6 @@ see *which features* drive near-singularity.
 from __future__ import annotations
 
 import io
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

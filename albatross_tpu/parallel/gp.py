@@ -15,16 +15,14 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..core.dataset import RegressionDataset
-from ..core.distributions import JointDistribution, MarginalDistribution
+from ..core.distributions import MarginalDistribution
 from ..kernels.features import as_measurement
-from ..models.base import FitModel
 from ..models.gp import GaussianProcess, GPFit
 from .cholesky import (
     distributed_cholesky,
@@ -33,7 +31,7 @@ from .cholesky import (
     distributed_solve,
     distributed_sqrt_solve,
 )
-from .gram import sharded_cross_gram, sharded_gram
+from .gram import sharded_gram
 
 LOG_2PI = math.log(2.0 * math.pi)
 

@@ -7,7 +7,7 @@ TPU-native re-design of
 from __future__ import annotations
 
 import csv
-from typing import IO, List, Optional, Sequence
+from typing import IO, Optional, Sequence
 
 import numpy as np
 

@@ -20,7 +20,7 @@ initial states repaired by resampling interpolations.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,19 +12,7 @@ import json
 from typing import Dict
 
 from ..core.parameters import Parameter, ParameterStore
-from ..core.priors import (
-    PRIOR_TYPES,
-    FixedPrior,
-    GaussianPrior,
-    LogNormalPrior,
-    LogScaleUniformPrior,
-    NonNegativePrior,
-    PositiveGaussianPrior,
-    PositivePrior,
-    Prior,
-    UniformPrior,
-    UninformativePrior,
-)
+from ..core.priors import PRIOR_TYPES, Prior
 
 _TAGS = {cls.__name__: cls for cls in PRIOR_TYPES}
 

@@ -9,7 +9,7 @@ vmap (replacing the reference's thread pool) when the objective is traceable.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
