@@ -135,12 +135,15 @@ class GaussianProcess(ModelBase):
 
     def _fit_impl(self, features, targets: MarginalDistribution) -> GPFit:
         measurements = as_measurement(features)
-        cov = self.covariance_function(measurements)
-        if targets.variance is not None:
-            cov = cov + jnp.diag(targets.variance)
+        with jax.named_scope("gp_gram"):
+            cov = self.covariance_function(measurements)
+            if targets.variance is not None:
+                cov = cov + jnp.diag(targets.variance)
         zero_mean = self.mean_function.remove_from(measurements, targets.mean)
-        chol = self._factorize(cov)
-        information = chol.solve(zero_mean)
+        with jax.named_scope("gp_cholesky"):
+            chol = self._factorize(cov)
+        with jax.named_scope("gp_information"):
+            information = chol.solve(zero_mean)
         return GPFit(features, chol, information)
 
     def _factorize(self, cov) -> CholeskyFactor:

@@ -6,6 +6,7 @@ from .graph import (
     maximum_spanning_tree,
     minimum_spanning_tree,
 )
+from .profiling import named_scope, trace, wall_timer
 from .random import (
     random_covariance_matrix,
     random_without_replacement,
