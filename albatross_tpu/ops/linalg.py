@@ -79,26 +79,36 @@ class CholeskyFactor:
             dtype=K.dtype,
         )
 
-        def attempt(jitter, use_jitter):
+        # Phase 1: find the needed jitter level under stop_gradient.  The
+        # while_loop is not reverse-differentiable, but with gradients
+        # stopped it is a constant computation, so phase 2's single
+        # factorization carries the exact NLML gradients.
+        K_const = jax.lax.stop_gradient(K)
+
+        def attempt_ok(jitter, use_jitter):
             L = jnp.linalg.cholesky(
-                K + jnp.where(use_jitter, jitter, 0.0) * eye
+                K_const + jnp.where(use_jitter, jitter, 0.0) * eye
             )
-            ok = jnp.all(jnp.isfinite(jnp.diagonal(L)))
-            return L, ok
+            return jnp.all(jnp.isfinite(jnp.diagonal(L)))
 
         def cond(state):
-            _, ok, tries, _ = state
+            ok, tries, _ = state
             return (~ok) & (tries < max_tries)
 
         def body(state):
-            _, _, tries, jitter = state
-            L, ok = attempt(jitter, True)
-            return L, ok, tries + 1, jitter * jitter_growth
+            _, tries, jitter = state
+            next_jitter = jnp.where(tries == 0, jitter, jitter * jitter_growth)
+            return attempt_ok(next_jitter, True), tries + 1, next_jitter
 
-        L0, ok0 = attempt(base, initial_jitter > 0)
-        L, _, _, _ = jax.lax.while_loop(
-            cond, body, (L0, ok0, jnp.asarray(0), base)
+        ok0 = attempt_ok(base, initial_jitter > 0)
+        ok, tries, jitter = jax.lax.while_loop(
+            cond, body, (ok0, jnp.asarray(0), base)
         )
+        applied = jnp.where(
+            (tries > 0) | (initial_jitter > 0), jitter, 0.0
+        )
+        # Phase 2: one differentiable factorization at the chosen jitter.
+        L = jnp.linalg.cholesky(K + applied * eye)
         return cls(L)
 
     @property

@@ -235,3 +235,24 @@ def test_safe_cholesky_escalation():
     # reconstruction error stays at jitter scale
     err = float(jnp.max(jnp.abs(chol.L @ chol.L.T - K)))
     assert err < 1e-6
+
+
+def test_safe_cholesky_gradients():
+    """safe factorization must stay differentiable (the jitter search runs
+    under stop_gradient; the final factorization carries the gradients)."""
+    import jax
+
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    A = np.random.default_rng(3).standard_normal((8, 8))
+    K0 = jnp.asarray(A @ A.T + 8 * np.eye(8))
+
+    def logdet_safe(scale):
+        return CholeskyFactor.factorize_safe(scale * K0).log_determinant()
+
+    def logdet_plain(scale):
+        return CholeskyFactor.factorize(scale * K0).log_determinant()
+
+    g_safe = float(jax.grad(logdet_safe)(1.0))
+    g_plain = float(jax.grad(logdet_plain)(1.0))
+    assert g_safe == pytest.approx(g_plain, rel=1e-9)
