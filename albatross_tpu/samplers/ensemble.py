@@ -37,13 +37,24 @@ class SamplerState(NamedTuple):
     accepted: jax.Array  # (n_walkers,) bool
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class EnsembleChain:
-    """Full chain: arrays with leading iteration axis."""
+    """Full chain: arrays with leading iteration axis (a pytree, so chains
+    checkpoint through serialize.save_checkpoint like any other state)."""
 
     params: np.ndarray  # (n_iterations+1, n_walkers, n_dim)
     log_prob: np.ndarray
     accepted: np.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.log_prob, self.accepted), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        import numpy as _np
+
+        return cls(*(_np.asarray(c) for c in children))
 
     def __len__(self):
         return self.params.shape[0]

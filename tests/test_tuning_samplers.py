@@ -174,3 +174,19 @@ def test_sampler_callbacks(rng):
     lines = stream.getvalue().strip().split("\n")
     assert len(lines) == 1 + 11 * 8  # header + iterations * walkers
     assert lines[0].startswith("iteration,ensemble_index,log_probability")
+
+
+def test_chain_checkpoint_round_trip(tmp_path, rng):
+    from albatross_tpu.serialize import load_checkpoint, save_checkpoint
+
+    data = make_data(rng, n=12)
+    model = make_model()
+    chain = ensemble_sampler_from_model(
+        model, data, n_walkers=6, max_iterations=5, key=1
+    )
+    path = str(tmp_path / "chain.ckpt")
+    save_checkpoint(path, chain)
+    restored = load_checkpoint(path)
+    np.testing.assert_allclose(restored.params, chain.params)
+    np.testing.assert_allclose(restored.log_prob, chain.log_prob)
+    assert restored.acceptance_rate() == chain.acceptance_rate()
