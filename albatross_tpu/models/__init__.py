@@ -1,3 +1,4 @@
+from .adapter import AdaptedModel
 from .base import FitModel, ModelBase, Prediction
 from .conditional import ConditionalFit, ConditionalGaussian
 from .least_squares import LeastSquares, LeastSquaresFit, LinearRegression

@@ -3,6 +3,12 @@ from .block import (
     BlockDiagonalCholesky,
     BlockSymmetric,
     DiagonalCholesky,
+    block_accumulate,
+    block_diag_solve,
+    block_inner_product,
+    block_product,
+    block_subtract,
+    block_sum,
     build_block_symmetric,
 )
 from .linalg import (

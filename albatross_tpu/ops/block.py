@@ -248,3 +248,42 @@ def build_block_symmetric(A, B: jnp.ndarray, S_chol) -> BlockSymmetric:
     factorized Schur complement (gp.hpp:384-414 passes S = predicted joint
     covariance + new target variance, which *is* C − BᵀA⁻¹B)."""
     return BlockSymmetric(A, A.solve(B), S_chol)
+
+
+# ---------------------------------------------------------------------------
+# Grouped block utilities (linalg/block_utils.hpp:24-150) — the building
+# blocks of patchwork-GP-style clustered computations.
+# ---------------------------------------------------------------------------
+def block_sum(blocks):
+    """Sum of same-shaped blocks (Grouped values or a sequence)."""
+    values = blocks.values() if hasattr(blocks, "values") else list(blocks)
+    out = values[0]
+    for v in values[1:]:
+        out = out + v
+    return out
+
+
+def block_accumulate(lhs, rhs, apply_function):
+    """sum_key apply_function(lhs[key], rhs[key]) (block_utils.hpp:44-70)."""
+    keys = lhs.keys()
+    assert len(keys) == len(rhs.keys()) and len(keys) > 0
+    return block_sum([apply_function(lhs[k], rhs[k]) for k in keys])
+
+
+def block_product(lhs, rhs):
+    """[x_0 ... x_n] @ [y_0; ...; y_n] over aligned group keys."""
+    return block_accumulate(lhs, rhs, lambda x, y: x @ y)
+
+
+def block_inner_product(lhs, rhs):
+    """[x_0ᵀ ... x_nᵀ] @ [y_0; ...; y_n] over aligned group keys."""
+    return block_accumulate(lhs, rhs, lambda x, y: x.T @ y)
+
+
+def block_diag_solve(solvers, rhs):
+    """Per-group solver[key].solve(rhs[key]) (block_utils.hpp:120-140)."""
+    return rhs.apply(lambda key, value: solvers[key].solve(value))
+
+
+def block_subtract(lhs, rhs):
+    return rhs.apply(lambda key, value: lhs[key] - value)

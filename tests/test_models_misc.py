@@ -190,3 +190,71 @@ def test_generic_ransac_strategy(rng):
     output = fit_model.fit.ransac_output
     assert ransac_success(output.return_code)
     assert not (set(output.best.consensus()) & outliers)
+
+
+def test_adapted_model(rng):
+    """Adapter converts features (using its own parameter) before
+    delegating (reference tests/test_model_adapter.cc)."""
+    from albatross_tpu.core import Parameter, UniformPrior
+    from albatross_tpu.models import AdaptedModel
+
+    def convert(adapter, features):
+        return jnp.asarray(features) - adapter.center.value
+
+    base = toy_gp_model()
+    model = AdaptedModel(
+        base, convert, {"center": Parameter(1.0, UniformPrior(-10.0, 10.0))}
+    )
+    assert "center" in model.get_params()
+    assert "squared_exponential_length_scale" in model.get_params()
+
+    # get/set round trip through the adapter param
+    m2 = model.set_param_value("center", 2.0)
+    assert float(m2.get_params()["center"].value) == 2.0
+
+    # fitting with center c == fitting the base model on shifted features
+    x = jnp.linspace(0.0, 10.0, 15)
+    y = jnp.sin(x)
+    data = RegressionDataset.create(x, y, variance=jnp.full((15,), 0.01))
+    xs = jnp.linspace(1.0, 9.0, 5)
+    adapted_pred = model.fit(data).predict(xs).marginal()
+    shifted = RegressionDataset.create(x - 1.0, y, variance=jnp.full((15,), 0.01))
+    base_pred = base.fit(shifted).predict(xs - 1.0).marginal()
+    np.testing.assert_allclose(
+        np.asarray(adapted_pred.mean), np.asarray(base_pred.mean), rtol=1e-10
+    )
+
+    # gradients flow through adapter params too
+    import jax
+
+    g = jax.grad(lambda m: -m.log_likelihood(data))(model)
+    assert np.isfinite(float(g.get_params()["center"].value))
+
+
+def test_block_utils(rng):
+    from albatross_tpu.indexing import Grouped
+    from albatross_tpu.ops import (
+        block_inner_product,
+        block_product,
+        block_sum,
+        block_diag_solve,
+    )
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    a = Grouped({0: jnp.ones((2, 2)), 1: 2.0 * jnp.ones((2, 2))})
+    assert np.allclose(np.asarray(block_sum(a)), 3.0)
+    b = Grouped({0: jnp.eye(2), 1: jnp.eye(2)})
+    np.testing.assert_allclose(
+        np.asarray(block_product(a, b)), 3.0 * np.ones((2, 2))
+    )
+    np.testing.assert_allclose(
+        np.asarray(block_inner_product(a, b)), 3.0 * np.ones((2, 2))
+    )
+    solvers = Grouped(
+        {0: CholeskyFactor.factorize(2.0 * jnp.eye(2)),
+         1: CholeskyFactor.factorize(4.0 * jnp.eye(2))}
+    )
+    rhs = Grouped({0: jnp.ones((2, 1)), 1: jnp.ones((2, 1))})
+    solved = block_diag_solve(solvers, rhs)
+    np.testing.assert_allclose(np.asarray(solved[0]), 0.5 * np.ones((2, 1)))
+    np.testing.assert_allclose(np.asarray(solved[1]), 0.25 * np.ones((2, 1)))
