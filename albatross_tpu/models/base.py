@@ -99,6 +99,19 @@ class FitModel:
     def get_fit(self):
         return self.fit
 
+    def for_serving(self) -> "FitModel":
+        """Swap the fit's factorization for an explicit inverse: higher
+        prediction throughput (solves become GEMMs) at the cost of one
+        O(N³) inversion and the usual explicit-inverse accuracy caveats."""
+        fit = self.fit
+        cov = getattr(fit, "train_covariance", None)
+        if cov is None or not hasattr(cov, "to_direct_inverse"):
+            return self
+        new_fit = type(fit)(
+            fit.train_features, cov.to_direct_inverse(), fit.information
+        )
+        return FitModel(self.model, new_fit)
+
 
 class Prediction:
     """Lazy prediction with joint→marginal→mean downgrade

@@ -156,6 +156,13 @@ class CholeskyFactor:
             jnp.diagonal(self.L) > 0
         )
 
+    def to_direct_inverse(self) -> "DirectInverse":
+        """Serving-mode representation: one O(N³) explicit inverse up front,
+        then every solve is a GEMM at MXU speed instead of two bandwidth-
+        bound triangular solves (the reference's DirectInverse covariance
+        representation, representations.hpp:85-101)."""
+        return DirectInverse(self.inverse())
+
     # -- inverse pieces (engine of fast LOO/LOGO CV) ------------------------
     def inverse(self) -> jnp.ndarray:
         Linv = solve_triangular(

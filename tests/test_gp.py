@@ -253,3 +253,21 @@ def test_safe_factorization_handles_singular_gram(rng):
     assert np.all(np.isfinite(np.asarray(pred_safe.variance)))
     # the NLML is finite too
     assert np.isfinite(float(safe.log_likelihood(data)))
+
+
+def test_serving_mode_direct_inverse(rng):
+    """for_serving() swaps to DirectInverse; predictions are unchanged."""
+    data = make_toy_sine_data(rng)
+    model = gp_from_covariance(sinc_kernel())
+    fit_model = model.fit(data)
+    serving = fit_model.for_serving()
+    from albatross_tpu.ops.linalg import DirectInverse
+
+    assert isinstance(serving.fit.train_covariance, DirectInverse)
+    xs = jnp.linspace(0.0, 10.0, 9)
+    a = fit_model.predict(xs).marginal()
+    b = serving.predict(xs).marginal()
+    np.testing.assert_allclose(np.asarray(b.mean), np.asarray(a.mean), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(b.variance), np.asarray(a.variance), rtol=1e-7
+    )
