@@ -46,9 +46,19 @@ def leave_one_out_conditional(
     return MarginalDistribution(loo_mean, loo_variance)
 
 
-def _grouped_inverse_blocks(chol: CholeskyFactor, indexers: Grouped):
+def _grouped_inverse_blocks(chol, indexers: Grouped):
     """(A⁻¹)_gg per group, batched when group sizes are uniform."""
     from jax.scipy.linalg import solve_triangular
+
+    if not isinstance(chol, CholeskyFactor):
+        # generic representation (e.g. DistributedCholesky): delegate to its
+        # own inverse_blocks and skip the local-Linv fast paths
+        blocks = chol.inverse_blocks(list(indexers.values()))
+        return (
+            {key: blk for key, blk in zip(indexers.keys(), blocks)},
+            None,
+            None,
+        )
 
     Linv = solve_triangular(
         chol.L, jnp.eye(chol.L.shape[0], dtype=chol.L.dtype), lower=True

@@ -1,5 +1,6 @@
 from .cholesky import (
     distributed_cholesky,
+    distributed_inverse_blocks,
     distributed_inverse_diagonal,
     distributed_log_determinant,
     distributed_solve,

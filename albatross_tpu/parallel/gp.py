@@ -64,6 +64,13 @@ class DistributedCholesky:
     def inverse_diagonal(self):
         return distributed_inverse_diagonal(self.L, self.mesh, self.axis)
 
+    def inverse_blocks(self, indices_groups):
+        from .cholesky import distributed_inverse_blocks
+
+        return distributed_inverse_blocks(
+            self.L, indices_groups, self.mesh, self.axis
+        )
+
 
 class DistributedGaussianProcess(GaussianProcess):
     """Exact GP whose fit-time linear algebra is mesh-distributed.

@@ -247,3 +247,47 @@ def test_distributed_loo_cv_matches_single_chip(mesh, rng):
             np.asarray(fast_single[key]),
             rtol=1e-8,
         )
+
+
+def test_distributed_logo_cv(mesh, rng):
+    """Grouped (LOGO) fast CV against the distributed factor matches the
+    single-chip fast path."""
+    from albatross_tpu.evaluation.cross_validation_utils import (
+        held_out_predictions,
+    )
+    from albatross_tpu.indexing import KFoldGrouper, group_by
+    from albatross_tpu.core.distributions import JointDistribution
+
+    n = 24
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x)
+    data = RegressionDataset.create(
+        jnp.asarray(x), jnp.asarray(y), variance=jnp.full((n,), 0.01)
+    )
+    kernel = SquaredExponential(1.5, 1.0) + measurement_only(
+        IndependentNoise(0.2)
+    )
+    indexers = group_by(data, KFoldGrouper(4)).indexers()
+
+    single = gp_from_covariance(kernel)
+    fit1 = single.fit(data)
+    ref = held_out_predictions(
+        fit1.fit.train_covariance, data.targets.mean,
+        fit1.fit.information, indexers, JointDistribution,
+    )
+
+    multi = distributed_gp_from_covariance(kernel, mesh)
+    fit8 = multi.fit(data)
+    got = held_out_predictions(
+        fit8.fit.train_covariance, data.targets.mean,
+        fit8.fit.information, indexers, JointDistribution,
+    )
+    for key in indexers:
+        np.testing.assert_allclose(
+            np.asarray(got[key].mean), np.asarray(ref[key].mean), rtol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[key].covariance),
+            np.asarray(ref[key].covariance),
+            rtol=1e-6,
+        )
