@@ -155,3 +155,33 @@ def tagged_diag(kernel: CovarianceFunction, X: TaggedBatch, x_meas):
     stacked = jnp.concatenate(parts)
     inv_x = jnp.asarray(np.argsort(np.asarray(X.order)))
     return stacked[inv_x]
+
+
+def concatenate_mixed_datasets(datasets, tags=None):
+    """Concatenate datasets of *different feature kinds* into one tagged
+    dataset — the analog of the reference's type-promoting concatenation
+    (core/concatenate.hpp: vector<X> + vector<Y> -> vector<variant<X, Y>>).
+
+    ``tags`` assigns the variant tag per dataset (defaults to 0..k-1).
+    """
+    import numpy as _np
+
+    from ..core.dataset import RegressionDataset
+    from ..core.distributions import concatenate_marginals
+
+    if tags is None:
+        tags = list(range(len(datasets)))
+    if len(set(tags)) != len(tags):
+        raise ValueError("tags must be distinct per dataset")
+    sizes = [d.size for d in datasets]
+    tag_array = _np.concatenate(
+        [_np.full(s, t) for s, t in zip(sizes, tags)]
+    )
+    batch = TaggedBatch.create(
+        tag_array, {t: d.features for t, d in zip(tags, datasets)}
+    )
+    targets = concatenate_marginals([d.targets for d in datasets])
+    metadata = {}
+    for d in datasets:
+        metadata.update(d.metadata)
+    return RegressionDataset(batch, targets, metadata)

@@ -140,3 +140,31 @@ def test_tagged_batch_subset(rng):
     np.testing.assert_allclose(
         K_sub, K_full[np.ix_(np.asarray(pick), np.asarray(pick))], rtol=1e-10
     )
+
+
+def test_concatenate_mixed_datasets(rng):
+    """Type-promoting concatenation: two different feature kinds merge into
+    one tagged dataset a GP can fit (concatenate.hpp variant promotion)."""
+    from albatross_tpu.kernels.variants import concatenate_mixed_datasets
+
+    pos_data = RegressionDataset.create(
+        jnp.asarray(np.sort(rng.uniform(0, 10, 6))),
+        jnp.asarray(rng.standard_normal(6)),
+    )
+    bias_data = RegressionDataset.create(
+        jnp.arange(3.0), jnp.asarray(rng.standard_normal(3))
+    )
+    mixed = concatenate_mixed_datasets([pos_data, bias_data], tags=[POS, BIAS])
+    assert mixed.size == 9
+    np.testing.assert_allclose(
+        np.asarray(mixed.targets.mean),
+        np.concatenate(
+            [np.asarray(pos_data.targets.mean), np.asarray(bias_data.targets.mean)]
+        ),
+    )
+    kernel = mixed_kernel() + measurement_only(IndependentNoise(0.1))
+    fit = gp_from_covariance(kernel).fit(
+        mixed.features, mixed.targets
+    )
+    pred = fit.predict(jnp.linspace(0, 10, 4)).marginal()
+    assert np.all(np.isfinite(np.asarray(pred.mean)))
