@@ -24,10 +24,11 @@ north-star target of 60% of f32 peak (BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-N = 8192
+N = int(os.environ.get("ALBATROSS_BENCH_N", "8192"))
 R = 8  # chained NLML evaluations per timed batch
 PEAK_F32_TFLOPS = 49.2
 TARGET_FRACTION = 0.6
