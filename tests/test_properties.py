@@ -116,3 +116,73 @@ def test_vmapped_fleet_of_gps(rng):
         np.testing.assert_allclose(
             np.asarray(variances[i]), np.asarray(single.variance), rtol=1e-7
         )
+
+
+def test_extending_doc_examples(rng):
+    """The EXTENDING.md examples must actually work."""
+    import dataclasses
+
+    from albatross_tpu.core import Parameter, PositivePrior
+    from albatross_tpu.kernels import CovarianceFunction
+    from albatross_tpu.models import ModelBase
+    from albatross_tpu import RegressionDataset, gp_from_covariance
+
+    @jax.tree_util.register_pytree_node_class
+    @dataclasses.dataclass(frozen=True)
+    class MeanOnlyFit:
+        mean_value: jax.Array
+
+        def tree_flatten(self):
+            return (self.mean_value,), None
+
+        @classmethod
+        def tree_unflatten(cls, _, children):
+            return cls(*children)
+
+    class GlobalMeanModel(ModelBase):
+        def _fit_impl(self, features, targets):
+            return MeanOnlyFit(jnp.mean(targets.mean))
+
+        def _predict_mean(self, features, fit):
+            from albatross_tpu.core.dataset import feature_count
+
+            return jnp.full((feature_count(features),), fit.mean_value)
+
+    data = RegressionDataset.create(jnp.arange(4.0), jnp.asarray([1.0, 2.0, 3.0, 4.0]))
+    pred = GlobalMeanModel().fit(data).predict(jnp.zeros(2)).mean()
+    np.testing.assert_allclose(np.asarray(pred), [2.5, 2.5])
+
+    class Periodic(CovarianceFunction):
+        def __init__(self, period=1.0, length_scale=1.0, sigma=1.0):
+            self.periodic_period = Parameter(period, PositivePrior())
+            self.periodic_length_scale = Parameter(length_scale, PositivePrior())
+            self.sigma_periodic = Parameter(sigma, PositivePrior())
+
+        @property
+        def name(self):
+            return "periodic"
+
+        def _matrix(self, X, Y, x_meas, y_meas):
+            d = jnp.abs(jnp.asarray(X)[:, None] - jnp.asarray(Y)[None, :])
+            s = jnp.sin(jnp.pi * d / self.periodic_period.value)
+            s2 = self.sigma_periodic.value ** 2
+            return s2 * jnp.exp(
+                -2.0 * (s / self.periodic_length_scale.value) ** 2
+            )
+
+        def _diag(self, X, x_meas):
+            n = jnp.asarray(X).shape[0]
+            return jnp.full((n,), self.sigma_periodic.value ** 2)
+
+    k = Periodic(period=2.0) + IndependentNoise(0.1)
+    x = jnp.asarray(np.sort(rng.uniform(0, 8, 20)))
+    y = jnp.sin(np.pi * x)  # period-2 signal
+    data = RegressionDataset.create(x, y)
+    model = gp_from_covariance(k, jitter=1e-10)
+    pred = model.fit(data).predict(x + 4.0).mean()  # two periods ahead
+    np.testing.assert_allclose(
+        np.asarray(pred), np.sin(np.pi * np.asarray(x)), atol=0.1
+    )
+    # PSD check for the custom kernel
+    K = np.asarray(k(x))
+    assert np.linalg.eigvalsh(K).min() > -1e-8
