@@ -60,22 +60,18 @@ class Grouped(Generic[K, V]):
 
     # -- split-apply-combine ------------------------------------------------
     def apply(self, fn: Callable) -> "Grouped":
-        """fn(value) or fn(key, value) per group."""
+        """fn(value) or fn(key, value) per group (arity-dispatched)."""
+        binary = _accepts_two_args(fn)
         out = {}
         for key, value in self._data.items():
-            try:
-                out[key] = fn(key, value)
-            except TypeError:
-                out[key] = fn(value)
+            out[key] = fn(key, value) if binary else fn(value)
         return Grouped(out)
 
     def filter(self, predicate: Callable) -> "Grouped":
+        binary = _accepts_two_args(predicate)
         out = {}
         for key, value in self._data.items():
-            try:
-                keep = predicate(key, value)
-            except TypeError:
-                keep = predicate(value)
+            keep = predicate(key, value) if binary else predicate(value)
             if keep:
                 out[key] = value
         return Grouped(out)
@@ -120,6 +116,27 @@ class Grouped(Generic[K, V]):
 
     def __repr__(self):
         return f"Grouped(n_groups={len(self)})"
+
+
+def _accepts_two_args(fn: Callable) -> bool:
+    """Arity inspection beats try/except TypeError dispatch, which would
+    silently mask TypeErrors raised *inside* the callback."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    required = [
+        p
+        for p in sig.parameters.values()
+        if p.kind
+        in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        and p.default is p.empty
+    ]
+    if any(p.kind == p.VAR_POSITIONAL for p in sig.parameters.values()):
+        return True
+    return len(required) >= 2
 
 
 def _sort_key(k):
