@@ -28,13 +28,23 @@ from jax.scipy.linalg import solve_triangular
 DEFAULT_BLOCK = 1024
 
 
+def auto_block_size(n: int, max_panels: int = 8) -> int:
+    """Panel size capped at ~max_panels panels: unrolled-program size (and
+    the remote compiler's appetite) grows with the panel count, while MXU
+    efficiency prefers panels >= 1024."""
+    b = max(DEFAULT_BLOCK, -(-n // max_panels))
+    return -(-b // 128) * 128  # round up to the 128-lane boundary
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "use_inverse"))
 def blocked_cholesky(
-    K: jnp.ndarray, block_size: int = DEFAULT_BLOCK, use_inverse: bool = True
+    K: jnp.ndarray,
+    block_size: int | None = None,
+    use_inverse: bool = True,
 ) -> jnp.ndarray:
     """Lower-triangular Cholesky factor of an SPD matrix."""
     n = K.shape[0]
-    b = block_size
+    b = block_size if block_size is not None else auto_block_size(n)
     if n <= b:
         return jnp.linalg.cholesky(K)
 
