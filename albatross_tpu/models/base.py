@@ -102,13 +102,24 @@ class FitModel:
     def for_serving(self) -> "FitModel":
         """Swap the fit's factorization for an explicit inverse: higher
         prediction throughput (solves become GEMMs) at the cost of one
-        O(N³) inversion and the usual explicit-inverse accuracy caveats."""
+        O(N³) inversion and the usual explicit-inverse accuracy caveats.
+
+        Applies to exact-GP fits only — sparse fits need the factor's
+        sqrt_solve at predict time, which an explicit inverse cannot
+        provide; those return unchanged.
+        """
+        import dataclasses
+
+        from .gp import GPFit
+
         fit = self.fit
-        cov = getattr(fit, "train_covariance", None)
-        if cov is None or not hasattr(cov, "to_direct_inverse"):
+        if not isinstance(fit, GPFit):
             return self
-        new_fit = type(fit)(
-            fit.train_features, cov.to_direct_inverse(), fit.information
+        cov = fit.train_covariance
+        if not hasattr(cov, "to_direct_inverse"):
+            return self
+        new_fit = dataclasses.replace(
+            fit, train_covariance=cov.to_direct_inverse()
         )
         return FitModel(self.model, new_fit)
 
