@@ -308,3 +308,22 @@ def test_ragged_group_cv(rng):
         np.testing.assert_allclose(
             np.asarray(fast[key].mean), np.asarray(brute.mean), rtol=1e-6
         )
+
+
+def test_metrics_accept_lazy_predictions(rng):
+    """metric(Prediction, truth) resolves the required predict type
+    automatically (PredictionMetric<RequiredPredictType> semantics)."""
+    data = toy_dataset(rng, 12)
+    model = toy_model()
+    fit_model = model.fit(data[jnp.arange(8)])
+    holdout = data[jnp.arange(8, 12)]
+    pred = fit_model.predict(holdout.features)  # lazy Prediction object
+
+    rmse = float(RootMeanSquareError()(pred, holdout.targets))
+    nll_m = float(NegativeLogLikelihood()(pred, holdout.targets))
+    nll_j = float(
+        NegativeLogLikelihood(JointDistribution)(pred, holdout.targets)
+    )
+    chi2 = float(ChiSquaredCdf()(pred, holdout.targets))
+    assert rmse > 0 and np.isfinite(nll_m) and np.isfinite(nll_j)
+    assert 0.0 <= chi2 <= 1.0
