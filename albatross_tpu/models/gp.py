@@ -232,8 +232,19 @@ class GaussianProcess(ModelBase):
             measurements, dataset.targets.mean
         )
         cov = self.covariance_function(measurements)
-        chol = self._factorize(cov)
-        ll = -negative_log_likelihood(zero_mean, chol)
+        if self.safe_factorization:
+            chol = self._factorize(cov)
+            ll = -negative_log_likelihood(zero_mean, chol)
+        else:
+            # fused factorize+whiten: forward substitution reuses the
+            # blocked factorization's panel inverses (see ops/linalg.py)
+            chol, white = CholeskyFactor.factorize_whiten(
+                cov, zero_mean, jitter=self.jitter
+            )
+            n = zero_mean.shape[0]
+            ll = -0.5 * (
+                chol.log_determinant() + jnp.sum(white * white) + n * LOG_2PI
+            )
         return ll + self.prior_log_likelihood()
 
     # -- fast cross-validation (gp.hpp:465-504) ------------------------------

@@ -54,6 +54,31 @@ class CholeskyFactor:
         return cls(jnp.linalg.cholesky(K))
 
     @classmethod
+    def factorize_whiten(
+        cls, K: jnp.ndarray, rhs: jnp.ndarray, jitter: float = 0.0
+    ) -> tuple["CholeskyFactor", jnp.ndarray]:
+        """Factorize K and return (factor, L⁻¹ rhs) in one pass.
+
+        For large N the whitening rides the blocked factorization (the panel
+        inverses are reused for forward substitution), avoiding a separate
+        full-size single-RHS triangular solve — the latency-bound step in
+        NLML evaluation on TPU (likelihood.hpp:38-47 computes the same
+        quantities as two stages).
+        """
+        K = _sym(jnp.asarray(K))
+        if jitter:
+            K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
+        rhs = jnp.asarray(rhs, dtype=K.dtype)
+        if K.shape[0] > 2048:
+            from .blocked_cholesky import blocked_cholesky
+
+            L, white = blocked_cholesky(K, rhs=rhs)
+            return cls(L), white
+        L = jnp.linalg.cholesky(K)
+        white = solve_triangular(L, rhs[:, None], lower=True)[:, 0]
+        return cls(L), white
+
+    @classmethod
     def factorize_safe(
         cls,
         K: jnp.ndarray,

@@ -1,0 +1,80 @@
+"""Blocked-Cholesky variants and the fused factorize+whiten path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.scipy.linalg import solve_triangular
+
+from albatross_tpu.ops.blocked_cholesky import (
+    blocked_cholesky,
+    blocked_cholesky_cols,
+)
+from albatross_tpu.ops.linalg import CholeskyFactor
+
+
+def _spd(rng, n):
+    A = rng.standard_normal((n, n))
+    return jnp.asarray(A @ A.T + n * np.eye(n))
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("n,b", [(96, 32), (100, 32), (256, 64)])
+def test_blocked_matches_builtin(rng, n, b):
+    K = _spd(rng, n)
+    L_ref = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(blocked_cholesky(K, b), L_ref, atol=1e-8)
+    np.testing.assert_allclose(
+        blocked_cholesky(K, b, use_inverse=False), L_ref, atol=1e-8
+    )
+    if n % b == 0:
+        np.testing.assert_allclose(
+            blocked_cholesky_cols(K, b), L_ref, atol=1e-8
+        )
+
+
+@pytest.mark.parametrize("n,b", [(96, 32), (100, 32), (32, 64)])
+def test_fused_whiten_matches_triangular_solve(rng, n, b):
+    K = _spd(rng, n)
+    y = jnp.asarray(rng.standard_normal(n))
+    L, z = blocked_cholesky(K, b, rhs=y)
+    z_ref = solve_triangular(jnp.linalg.cholesky(K), y[:, None], lower=True)
+    np.testing.assert_allclose(z, z_ref[:, 0], atol=1e-8)
+    Lc, zc = blocked_cholesky_cols(K, b, rhs=y)
+    np.testing.assert_allclose(zc, z_ref[:, 0], atol=1e-8)
+    np.testing.assert_allclose(Lc, jnp.linalg.cholesky(K), atol=1e-8)
+
+
+def test_factorize_whiten_small_and_large_agree(rng):
+    # n > 2048 exercises the blocked fused path inside factorize_whiten
+    n = 2176
+    x = np.sort(rng.uniform(0, 10, n))
+    d = x[:, None] - x[None, :]
+    K = jnp.asarray(np.exp(-0.5 * d**2) + 0.5 * np.eye(n))
+    y = jnp.asarray(rng.standard_normal(n))
+    chol, white = CholeskyFactor.factorize_whiten(K, y)
+    ref = chol.sqrt_solve(y)
+    np.testing.assert_allclose(white, ref, atol=1e-7)
+    # quadratic form matches a dense solve
+    np.testing.assert_allclose(
+        jnp.sum(white * white), y @ chol.solve(y), rtol=1e-9
+    )
+
+
+def test_gp_log_likelihood_fused_matches_safe(rng):
+    import albatross_tpu as ab
+
+    x = jnp.asarray(np.sort(rng.uniform(0, 10, 64)))
+    y = jnp.sin(x) + 0.1 * jnp.asarray(rng.standard_normal(64))
+    kernel = ab.SquaredExponential(1.0, 1.0) + ab.IndependentNoise(0.1)
+    data = ab.RegressionDataset.create(x, y)
+    fused = ab.gp_from_covariance(kernel, jitter=1e-8)
+    safe = ab.gp_from_covariance(
+        kernel, jitter=1e-8, safe_factorization=True
+    )
+    np.testing.assert_allclose(
+        fused.log_likelihood(data), safe.log_likelihood(data), rtol=1e-10
+    )
