@@ -46,11 +46,12 @@ class CholeskyFactor:
         if jitter:
             K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
         if K.shape[0] > 2048:
-            # GEMM-rich blocked factorization: ~1.6x XLA's builtin on TPU
-            # (see ops/blocked_cholesky.py)
-            from .blocked_cholesky import blocked_cholesky
+            # GEMM-rich blocked factorization, column-panel layout (falls
+            # back to the rows layout for non-divisible N): ~4x XLA's
+            # builtin on TPU (see ops/blocked_cholesky.py)
+            from .blocked_cholesky import blocked_cholesky_cols
 
-            return cls(blocked_cholesky(K))
+            return cls(blocked_cholesky_cols(K))
         return cls(jnp.linalg.cholesky(K))
 
     @classmethod
@@ -70,9 +71,9 @@ class CholeskyFactor:
             K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
         rhs = jnp.asarray(rhs, dtype=K.dtype)
         if K.shape[0] > 2048:
-            from .blocked_cholesky import blocked_cholesky
+            from .blocked_cholesky import blocked_cholesky_cols
 
-            L, white = blocked_cholesky(K, rhs=rhs)
+            L, white = blocked_cholesky_cols(K, rhs=rhs)
             return cls(L), white
         L = jnp.linalg.cholesky(K)
         white = solve_triangular(L, rhs[:, None], lower=True)[:, 0]
