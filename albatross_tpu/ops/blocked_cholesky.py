@@ -36,6 +36,60 @@ def auto_block_size(n: int, max_panels: int = 8) -> int:
     return -(-b // 128) * 128  # round up to the 128-lane boundary
 
 
+def blocked_tri_inverse(L: jnp.ndarray, sub: int = 512) -> jnp.ndarray:
+    """Inverse of a lower-triangular matrix, GEMM-rich.
+
+    XLA's TriangularSolve against an identity is latency-bound on TPU (it
+    substitutes 128 columns at a time).  This builds W = L⁻¹ from sub-block
+    inverses instead: the S diagonal blocks are inverted in one *batched*
+    triangular solve (vmap), then row-block r of W is a pair of GEMMs
+        W[r, :r] = -W_rr @ (L[r, :r] @ W[:r, :r]).
+    ~2x the FLOPs of the dense substitution but they all land on the MXU.
+    """
+    m = L.shape[0]
+    if m <= sub or m % sub != 0:
+        return solve_triangular(L, jnp.eye(m, dtype=L.dtype), lower=True)
+    S = m // sub
+    diag = jnp.stack(
+        [
+            jax.lax.slice(L, (i * sub, i * sub), ((i + 1) * sub, (i + 1) * sub))
+            for i in range(S)
+        ]
+    )
+    eye = jnp.eye(sub, dtype=L.dtype)
+    winv = jax.vmap(lambda Li: solve_triangular(Li, eye, lower=True))(diag)
+    rows = [jnp.concatenate([winv[0], jnp.zeros((sub, m - sub), L.dtype)], 1)]
+    Wtop = rows[0]  # (r*sub, m) rows built so far
+    for r in range(1, S):
+        r0 = r * sub
+        Lr = jax.lax.slice(L, (r0, 0), (r0 + sub, r0))  # (sub, r0)
+        left = -winv[r] @ (Lr @ Wtop[:, :r0])  # (sub, r0)
+        row = jnp.concatenate(
+            [left, winv[r], jnp.zeros((sub, m - r0 - sub), L.dtype)], axis=1
+        )
+        rows.append(row)
+        Wtop = jnp.concatenate([Wtop, row], axis=0)
+    return Wtop
+
+
+def _panel_chol_inverse(
+    Akk: jnp.ndarray, sub: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, L⁻¹) of a diagonal panel via inner blocking.
+
+    The outer blocked Cholesky spends its non-GEMM time in the builtin
+    ``cholesky`` and ``TriangularSolve`` on b×b panels; factoring the panel
+    with an inner blocked pass and composing the inverse from sub-block
+    inverses moves most of that onto the MXU too.
+    """
+    m = Akk.shape[0]
+    if m <= sub or m % sub != 0:
+        L = jnp.linalg.cholesky(Akk)
+        return L, blocked_tri_inverse(L, sub)
+    L = blocked_cholesky(Akk, sub)
+    return L, blocked_tri_inverse(L, sub)
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "use_inverse"))
 def blocked_cholesky(
     K: jnp.ndarray,
@@ -102,11 +156,12 @@ def blocked_cholesky(
     return L if rhs is None else (L, z)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
+@functools.partial(jax.jit, static_argnames=("block_size", "panel_sub"))
 def blocked_cholesky_cols(
     K: jnp.ndarray,
     block_size: int | None = None,
     rhs: jnp.ndarray | None = None,
+    panel_sub: int | None = None,
 ) -> jnp.ndarray:
     """Column-panel-layout variant of ``blocked_cholesky``.
 
@@ -134,8 +189,13 @@ def blocked_cholesky_cols(
         k0 = k * b
         col = cols[k]
         Akk = col[k0 : k0 + b]
-        Lkk = jnp.linalg.cholesky(Akk)
-        W = solve_triangular(Lkk, jnp.eye(b, dtype=K.dtype), lower=True)
+        if panel_sub is not None:
+            # two-level blocking: inner-blocked panel factorization + GEMM
+            # composition of the panel inverse (see _panel_chol_inverse)
+            Lkk, W = _panel_chol_inverse(Akk, panel_sub)
+        else:
+            Lkk = jnp.linalg.cholesky(Akk)
+            W = solve_triangular(Lkk, jnp.eye(b, dtype=K.dtype), lower=True)
         below = col[k0 + b :] @ W.T  # (n - k0 - b, b)
         cols[k] = jnp.concatenate(
             [jnp.zeros((k0, b), dtype=K.dtype), Lkk, below], axis=0

@@ -78,3 +78,25 @@ def test_gp_log_likelihood_fused_matches_safe(rng):
     np.testing.assert_allclose(
         fused.log_likelihood(data), safe.log_likelihood(data), rtol=1e-10
     )
+
+
+def test_blocked_tri_inverse(rng):
+    from albatross_tpu.ops.blocked_cholesky import blocked_tri_inverse
+
+    for n, sub in [(128, 32), (96, 32), (100, 32), (64, 128)]:
+        K = _spd(rng, n)
+        L = jnp.linalg.cholesky(K)
+        W = blocked_tri_inverse(L, sub)
+        np.testing.assert_allclose(W @ L, np.eye(n), atol=1e-8)
+        assert np.allclose(np.triu(np.asarray(W), 1), 0.0)
+
+
+def test_two_level_cols_matches_builtin(rng):
+    n, b, sub = 256, 64, 32
+    K = _spd(rng, n)
+    y = jnp.asarray(rng.standard_normal(n))
+    L_ref = jnp.linalg.cholesky(K)
+    L, z = blocked_cholesky_cols(K, b, rhs=y, panel_sub=sub)
+    np.testing.assert_allclose(L, L_ref, atol=1e-8)
+    z_ref = solve_triangular(L_ref, y[:, None], lower=True)[:, 0]
+    np.testing.assert_allclose(z, z_ref, atol=1e-8)
