@@ -28,7 +28,7 @@ import os
 import sys
 import time
 
-N = int(os.environ.get("ALBATROSS_BENCH_N", "24576"))
+N = int(os.environ.get("ALBATROSS_BENCH_N", "28672"))
 R = 8  # chained NLML evaluations per timed batch
 PEAK_F32_TFLOPS = 49.2
 TARGET_FRACTION = 0.6
