@@ -182,12 +182,36 @@ class CholeskyFactor:
             jnp.diagonal(self.L) > 0
         )
 
-    def to_direct_inverse(self) -> "DirectInverse":
+    def to_direct_inverse(self, refine_steps: int = 2) -> "DirectInverse":
         """Serving-mode representation: one O(N³) explicit inverse up front,
         then every solve is a GEMM at MXU speed instead of two bandwidth-
         bound triangular solves (the reference's DirectInverse covariance
-        representation, representations.hpp:85-101)."""
-        return DirectInverse(self.inverse())
+        representation, representations.hpp:85-101).
+
+        ``refine_steps`` Newton–Schulz iterations X ← X + X(I − A X) at
+        precision=HIGHEST polish the inverse: on TPU the triangular solves
+        that build it run as single-pass-bf16 matmuls internally, and for
+        ill-conditioned K the raw inverse yields predictive variances off by
+        O(1e-2) — even negative (measured at N=8192, kappa~1e6).  Measured
+        max|I−AX| per step on v5e: 5.4e-2 → 9.5e-4 → 4.3e-5 (floor); two
+        steps reach the precision floor at one-time construction cost.
+        """
+        X = self.inverse()
+        n = X.shape[0]
+        if refine_steps:
+            A = jnp.matmul(
+                self.L, self.L.T, precision=jax.lax.Precision.HIGHEST
+            )
+            eye = jnp.eye(n, dtype=X.dtype)
+            for _ in range(refine_steps):
+                R = eye - jnp.matmul(
+                    A, X, precision=jax.lax.Precision.HIGHEST
+                )
+                X = X + jnp.matmul(
+                    X, R, precision=jax.lax.Precision.HIGHEST
+                )
+            X = 0.5 * (X + X.T)
+        return DirectInverse(X)
 
     # -- inverse pieces (engine of fast LOO/LOGO CV) ------------------------
     def inverse(self) -> jnp.ndarray:
@@ -238,7 +262,14 @@ class DirectInverse:
         return cls(children[0])
 
     def solve(self, rhs):
-        return self.inverse_matrix @ rhs
+        # precision=HIGH (bf16x3 passes) on TPU: the explicit-inverse GEMM
+        # against an ill-conditioned K cancels catastrophically in a single
+        # bf16 pass (measured: predictive variances off by O(0.1) at
+        # N=8192, kappa~1e6), while bf16x3 recovers ~f32 accuracy at ~1/3
+        # MXU throughput — still ~8x the triangular-solve predict path.
+        return jnp.matmul(
+            self.inverse_matrix, rhs, precision=jax.lax.Precision.HIGH
+        )
 
 
 @jax.tree_util.register_pytree_node_class
