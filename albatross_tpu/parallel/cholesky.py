@@ -28,6 +28,8 @@ from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
+from ..ops.blocked_cholesky import DEFAULT_PANEL_SUB, blocked_tri_inverse
+
 
 def _i32(*vals):
     """dynamic_slice requires uniform index dtypes; axis_index is int32
@@ -49,8 +51,11 @@ def _local_chol_step(A_local, k, b, G, axis):
     diag = jax.lax.dynamic_slice(col_full, _i32(k * b, 0), (b, b))
     L_kk = jnp.linalg.cholesky(diag)
 
-    # full column panel of L below the diagonal: rows i>k get A_ik L_kk^{-T}
-    panel = solve_triangular(L_kk, col_full.T, lower=True).T  # (N, b)
+    # full column panel of L below the diagonal: rows i>k get A_ik L_kk^{-T};
+    # the GEMM-composed inverse keeps the panel solve on the MXU (same
+    # two-level trick as the single-chip ops/blocked_cholesky.py)
+    W = blocked_tri_inverse(L_kk, DEFAULT_PANEL_SUB)
+    panel = col_full @ W.T  # (N, b)
 
     # row masks
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
