@@ -85,13 +85,20 @@ def gp_joint_prediction(
     return JointDistribution(pred, prior_cov - explained_cov)
 
 
+def _nll_from_whitened(log_det, white):
+    """½(log|K| + ‖L⁻¹dev‖² + n log 2π) — single source of truth for the
+    NLL formula (likelihood.hpp:38-47; note: NO target variance added,
+    matching gp.hpp:442-451)."""
+    n = white.shape[0]
+    return 0.5 * (log_det + jnp.sum(white * white) + n * LOG_2PI)
+
+
 def negative_log_likelihood(deviation, chol: CholeskyFactor):
     """½(log|K| + devᵀK⁻¹dev + n log 2π)
     (/root/reference/include/albatross/src/evaluation/likelihood.hpp:38-47)."""
-    n = deviation.shape[0]
-    white = chol.sqrt_solve(deviation)
-    mahalanobis = jnp.sum(white * white)
-    return 0.5 * (chol.log_determinant() + mahalanobis + n * LOG_2PI)
+    return _nll_from_whitened(
+        chol.log_determinant(), chol.sqrt_solve(deviation)
+    )
 
 
 class GaussianProcess(ModelBase):
@@ -241,10 +248,7 @@ class GaussianProcess(ModelBase):
             chol, white = CholeskyFactor.factorize_whiten(
                 cov, zero_mean, jitter=self.jitter
             )
-            n = zero_mean.shape[0]
-            ll = -0.5 * (
-                chol.log_determinant() + jnp.sum(white * white) + n * LOG_2PI
-            )
+            ll = -_nll_from_whitened(chol.log_determinant(), white)
         return ll + self.prior_log_likelihood()
 
     # -- fast cross-validation (gp.hpp:465-504) ------------------------------

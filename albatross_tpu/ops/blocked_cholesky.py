@@ -37,7 +37,9 @@ def auto_block_size(n: int, max_panels: int = 8) -> int:
     return -(-b // 128) * 128  # round up to the 128-lane boundary
 
 
-def blocked_tri_inverse(L: jnp.ndarray, sub: int = 512) -> jnp.ndarray:
+def blocked_tri_inverse(
+    L: jnp.ndarray, sub: int = DEFAULT_PANEL_SUB
+) -> jnp.ndarray:
     """Inverse of a lower-triangular matrix, GEMM-rich.
 
     XLA's TriangularSolve against an identity is latency-bound on TPU (it
@@ -87,12 +89,15 @@ def _panel_chol_inverse(
     return L, blocked_tri_inverse(L, sub)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "use_inverse"))
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "use_inverse", "panel_sub")
+)
 def blocked_cholesky(
     K: jnp.ndarray,
     block_size: int | None = None,
     use_inverse: bool = True,
     rhs: jnp.ndarray | None = None,
+    panel_sub: int | str | None = "auto",
 ) -> jnp.ndarray:
     """Lower-triangular Cholesky factor of an SPD matrix.
 
@@ -118,9 +123,17 @@ def blocked_cholesky(
         Lkk = jnp.linalg.cholesky(Akk)
         A = jax.lax.dynamic_update_slice(A, Lkk, (k0, k0))
         rem = n - (k0 + bk)
+        sub = DEFAULT_PANEL_SUB if panel_sub == "auto" else panel_sub
         W = None
         if use_inverse:
-            W = blocked_tri_inverse(Lkk, DEFAULT_PANEL_SUB)  # L_kk^{-1}
+            # L_kk^{-1}: GEMM-composed when panel_sub is set, exact
+            # TriangularSolve when the caller opts out (panel_sub=None)
+            if sub is not None:
+                W = blocked_tri_inverse(Lkk, sub)
+            else:
+                W = solve_triangular(
+                    Lkk, jnp.eye(bk, dtype=K.dtype), lower=True
+                )
         if z is not None:
             zk = jax.lax.slice(z, (k0,), (k0 + bk,))
             zk = (W @ zk) if W is not None else solve_triangular(
@@ -173,7 +186,7 @@ def blocked_cholesky_cols(
     n = K.shape[0]
     b = block_size if block_size is not None else auto_block_size(n)
     if n <= b or n % b != 0:
-        return blocked_cholesky(K, b, rhs=rhs)
+        return blocked_cholesky(K, b, rhs=rhs, panel_sub=panel_sub)
 
     G = n // b
     z = rhs

@@ -40,8 +40,12 @@ class CholeskyFactor:
     def tree_unflatten(cls, _, children):
         return cls(children[0])
 
-    @classmethod
-    def factorize(cls, K: jnp.ndarray, jitter: float = 0.0) -> "CholeskyFactor":
+    @staticmethod
+    def _factor_core(K, jitter, rhs):
+        """Shared factorization core for factorize/factorize_whiten: one
+        place owns the symmetrize/jitter policy, the blocked-vs-builtin
+        size threshold, and the layout choice, so the fused-NLML path can
+        never factorize a different matrix than the fit path."""
         K = _sym(jnp.asarray(K))
         if jitter:
             K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
@@ -51,8 +55,15 @@ class CholeskyFactor:
             # builtin on TPU (see ops/blocked_cholesky.py)
             from .blocked_cholesky import blocked_cholesky_cols
 
-            return cls(blocked_cholesky_cols(K))
-        return cls(jnp.linalg.cholesky(K))
+            return blocked_cholesky_cols(K, rhs=rhs)
+        L = jnp.linalg.cholesky(K)
+        if rhs is None:
+            return L
+        return L, solve_triangular(L, rhs[:, None], lower=True)[:, 0]
+
+    @classmethod
+    def factorize(cls, K: jnp.ndarray, jitter: float = 0.0) -> "CholeskyFactor":
+        return cls(cls._factor_core(K, jitter, None))
 
     @classmethod
     def factorize_whiten(
@@ -60,23 +71,22 @@ class CholeskyFactor:
     ) -> tuple["CholeskyFactor", jnp.ndarray]:
         """Factorize K and return (factor, L⁻¹ rhs) in one pass.
 
-        For large N the whitening rides the blocked factorization (the panel
-        inverses are reused for forward substitution), avoiding a separate
-        full-size single-RHS triangular solve — the latency-bound step in
-        NLML evaluation on TPU (likelihood.hpp:38-47 computes the same
-        quantities as two stages).
+        ``rhs`` must be a 1-D (n,) vector.  For large N the whitening rides
+        the blocked factorization (the panel inverses are reused for
+        forward substitution), avoiding a separate full-size single-RHS
+        triangular solve — the latency-bound step in NLML evaluation on TPU
+        (likelihood.hpp:38-47 computes the same quantities as two stages).
         """
-        K = _sym(jnp.asarray(K))
-        if jitter:
-            K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
-        rhs = jnp.asarray(rhs, dtype=K.dtype)
-        if K.shape[0] > 2048:
-            from .blocked_cholesky import blocked_cholesky_cols
-
-            L, white = blocked_cholesky_cols(K, rhs=rhs)
-            return cls(L), white
-        L = jnp.linalg.cholesky(K)
-        white = solve_triangular(L, rhs[:, None], lower=True)[:, 0]
+        rhs = jnp.asarray(rhs)
+        if rhs.ndim != 1:
+            raise ValueError(
+                f"factorize_whiten expects a 1-D rhs, got shape {rhs.shape};"
+                " use factorize(...).sqrt_solve for matrix right-hand sides"
+            )
+        K = jnp.asarray(K)
+        L, white = cls._factor_core(
+            K, jitter, rhs.astype(K.dtype)
+        )
         return cls(L), white
 
     @classmethod
@@ -207,8 +217,20 @@ class CholeskyFactor:
                 R = eye - jnp.matmul(
                     A, X, precision=jax.lax.Precision.HIGHEST
                 )
-                X = X + jnp.matmul(
-                    X, R, precision=jax.lax.Precision.HIGHEST
+                # Newton–Schulz contracts only while ||I−AX||₂ < 1; for very
+                # ill-conditioned K the bf16-built starting inverse can sit
+                # outside the basin, where the step would *square the error
+                # up*.  Gate on max|R| — not a proof of contraction (the
+                # spectral norm can exceed max-abs), but it stops the
+                # catastrophic regime (entries ≥ 1) while permitting the
+                # measured-good residuals (~5e-2 at N=8192, kappa~1e6); a
+                # Frobenius gate would falsely reject those.  Skipped steps
+                # degrade to the unrefined inverse instead of diverging.
+                contracting = jnp.max(jnp.abs(R)) < 1.0
+                X = jnp.where(
+                    contracting,
+                    X + jnp.matmul(X, R, precision=jax.lax.Precision.HIGHEST),
+                    X,
                 )
             X = 0.5 * (X + X.T)
         return DirectInverse(X)
