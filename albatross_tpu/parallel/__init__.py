@@ -6,8 +6,17 @@ from .cholesky import (
     distributed_solve,
     distributed_sqrt_solve,
 )
+from .cholesky2d import (
+    distributed_cholesky_2d,
+    distributed_inverse_blocks_2d,
+    distributed_inverse_diagonal_2d,
+    distributed_log_determinant_2d,
+    distributed_solve_2d,
+    distributed_sqrt_solve_2d,
+)
 from .gp import (
     DistributedCholesky,
+    DistributedCholesky2D,
     DistributedGaussianProcess,
     distributed_gp_from_covariance,
 )

@@ -37,6 +37,19 @@ def _i32(*vals):
     return tuple(jnp.int32(v) for v in vals)
 
 
+def _pvary(x, axes):
+    """Mark a fresh constant as device-varying over the named axes —
+    loop carries inside shard_map must enter with the vma type their
+    updated values will have (jax >= 0.9 check_vma)."""
+    if isinstance(axes, str):
+        axes = (axes,)
+    vma = getattr(jax.typeof(x), "vma", frozenset())
+    need = tuple(a for a in axes if a not in vma)
+    if not need:
+        return x
+    return jax.lax.pcast(x, need, to="varying")
+
+
 def _local_chol_step(A_local, k, b, G, axis):
     """One right-looking step: returns updated A_local with column block k
     of L written in place."""
@@ -121,32 +134,45 @@ def distributed_cholesky(A, mesh: Mesh, axis: str = "data"):
 
 
 def _forward_sub_local(L_local, rhs_local, *, b: int, G: int, axis: str):
-    """Solve L x = rhs with row-sharded L; returns x replicated (n, m)."""
+    """Solve L x = rhs with row-sharded L; x stays row-sharded.
+
+    Memory-scalable block forward substitution: each device carries only its
+    own (b, m) rows of the solution plus a (b, m) accumulator of
+    already-applied panel contributions — nothing O(N·m) is ever replicated
+    and per-device compute is n·b·m (the sequential algorithm's flops / G),
+    unlike a naive carry of the full solution which would redo the full
+    (b × n × m) product every step.
+    """
     my = jax.lax.axis_index(axis)
-    n = b * G
     m = rhs_local.shape[1]
+    eye_b = jnp.eye(b, dtype=L_local.dtype)
 
-    def body(k, x):
-        # owner computes its block solve; everyone else contributes zeros.
-        # Non-owners' diagonal slices are singular (zeros above the diagonal),
-        # so substitute identity there — otherwise reverse-mode through the
-        # triangular solve NaN-poisons the gradient even though the forward
-        # value is masked out.
-        partial = L_local @ x  # (b, m) uses only filled rows of x
+    def body(k, carry):
+        x_local, acc = carry
+        # Non-owners' diagonal slices are singular (zeros above the
+        # diagonal), so substitute identity there — otherwise reverse-mode
+        # through the triangular solve NaN-poisons the gradient even though
+        # the forward value is masked out.
         L_kk = jax.lax.dynamic_slice(L_local, _i32(0, k * b), (b, b))
-        L_kk = jnp.where(my == k, L_kk, jnp.eye(b, dtype=L_kk.dtype))
-        x_k = solve_triangular(L_kk, rhs_local - partial, lower=True)
-        contrib = jnp.where(my == k, x_k, jnp.zeros_like(x_k))
-        x_k_all = jax.lax.psum(contrib, axis)
-        return jax.lax.dynamic_update_slice(x, x_k_all, _i32(k * b, 0))
+        L_kk_safe = jnp.where(my == k, L_kk, eye_b)
+        x_k = solve_triangular(L_kk_safe, rhs_local - acc, lower=True)
+        # broadcast the owner's block to everyone
+        x_k = jax.lax.psum(jnp.where(my == k, x_k, jnp.zeros_like(x_k)), axis)
+        x_local = jnp.where(my == k, x_k, x_local)
+        # fold panel k into our rows' accumulator: L[my rows, block k] @ x_k.
+        # Rows above the diagonal hold zeros; the owner's own diagonal
+        # contribution lands after its solve, where acc is never read again.
+        acc = acc + L_kk @ x_k
+        return x_local, acc
 
-    x0 = jnp.zeros((n, m), dtype=rhs_local.dtype)
-    return jax.lax.fori_loop(0, G, body, x0)
+    x0 = _pvary(jnp.zeros((b, m), dtype=rhs_local.dtype), axis)
+    x, _ = jax.lax.fori_loop(0, G, body, (x0, jnp.zeros_like(x0)))
+    return x
 
 
 def distributed_sqrt_solve(L, rhs, mesh: Mesh, axis: str = "data"):
-    """L^{-1} rhs with L row-sharded; rhs replicated (N,) or (N, m).
-    Returns the whitened rhs, replicated."""
+    """L^{-1} rhs with L row-sharded; rhs (N,) or (N, m).
+    Returns the whitened rhs, row-sharded over ``axis``."""
     G = mesh.shape[axis]
     n = L.shape[0]
     b = n // G
@@ -156,43 +182,45 @@ def distributed_sqrt_solve(L, rhs, mesh: Mesh, axis: str = "data"):
         functools.partial(_forward_sub_local, b=b, G=G, axis=axis),
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=P(),
+        out_specs=P(axis, None),
     )
     out = fn(L, rhs2)
     return out[:, 0] if vec else out
 
 
 def _back_sub_local(L_local, rhs_local, *, b: int, G: int, axis: str):
-    """Solve L^T x = rhs with row-sharded L (so L^T is column-sharded)."""
-    my = jax.lax.axis_index(axis)
-    n = b * G
-    m = rhs_local.shape[1]
+    """Solve L^T x = rhs with row-sharded L (so L^T is column-sharded);
+    x stays row-sharded.
 
-    def body(i, x):
+    Each device's x block is written exactly once by its owner; later steps
+    read it only through the psum of local (b×b×m) products, so nothing
+    O(N·m) replicates and no broadcast of solved blocks is needed at all.
+    """
+    my = jax.lax.axis_index(axis)
+    eye_b = jnp.eye(b, dtype=L_local.dtype)
+
+    def body(i, x_local):
         k = G - 1 - i
-        # x_k = L_kk^{-T} (rhs_k - (L^T x)_k) ; (L^T x)_k = sum over rows r>k
-        # of L[r, k-block]^T x_r — each device contributes its own rows.
-        Lk_local = jax.lax.dynamic_slice(L_local, _i32(0, k * b), (b, b))  # rows my, cols k
-        # contribution of our rows to (L^T x)_k, excluding the diagonal owner
-        x_mine = jax.lax.dynamic_slice(x, _i32(my * b, 0), (b, m))
-        contrib = Lk_local.T @ jnp.where(my > k, x_mine, jnp.zeros_like(x_mine))
-        total = jax.lax.psum(contrib, axis)  # (b, m)
+        # (Lᵀ x)_k = Σ_r L[r, block k]ᵀ x_r: our contribution uses our own
+        # rows.  Blocks not yet solved are still zero in x_local (including
+        # the owner's, solved this step), and rows above the diagonal hold
+        # zeros in L — so no masking is needed.
+        Lk_local = jax.lax.dynamic_slice(L_local, _i32(0, k * b), (b, b))
+        total = jax.lax.psum(Lk_local.T @ x_local, axis)  # (b, m)
         # identity substitute for non-owners (see _forward_sub_local)
-        Lk_safe = jnp.where(my == k, Lk_local, jnp.eye(b, dtype=Lk_local.dtype))
+        Lk_safe = jnp.where(my == k, Lk_local, eye_b)
         x_k = solve_triangular(
             Lk_safe.T, rhs_local - total, lower=False
         )  # valid on owner only
-        x_k_all = jax.lax.psum(
-            jnp.where(my == k, x_k, jnp.zeros_like(x_k)), axis
-        )
-        return jax.lax.dynamic_update_slice(x, x_k_all, _i32(k * b, 0))
+        return jnp.where(my == k, x_k, x_local)
 
-    x0 = jnp.zeros((n, m), dtype=rhs_local.dtype)
+    x0 = _pvary(jnp.zeros_like(rhs_local), axis)
     return jax.lax.fori_loop(0, G, body, x0)
 
 
 def distributed_solve(L, rhs, mesh: Mesh, axis: str = "data"):
-    """(L Lᵀ)^{-1} rhs — full solve through both triangles."""
+    """(L Lᵀ)^{-1} rhs — full solve through both triangles; result
+    row-sharded over ``axis``."""
     G = mesh.shape[axis]
     n = L.shape[0]
     b = n // G
@@ -203,7 +231,7 @@ def distributed_solve(L, rhs, mesh: Mesh, axis: str = "data"):
         functools.partial(_back_sub_local, b=b, G=G, axis=axis),
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=P(),
+        out_specs=P(axis, None),
     )
     out = fn(L, y)
     return out[:, 0] if vec else out
@@ -228,38 +256,106 @@ def distributed_log_determinant(L, mesh: Mesh, axis: str = "data"):
     return fn(L)
 
 
+def _fwd_sub_body(L_local, rhs_local, my, b, G, axis):
+    """Shared forward-substitution loop body factory (see
+    _forward_sub_local) for reuse inside fused shard_map kernels."""
+    eye_b = jnp.eye(b, dtype=L_local.dtype)
+
+    def body(k, carry):
+        x_local, acc = carry
+        L_kk = jax.lax.dynamic_slice(L_local, _i32(0, k * b), (b, b))
+        L_kk_safe = jnp.where(my == k, L_kk, eye_b)
+        x_k = solve_triangular(L_kk_safe, rhs_local - acc, lower=True)
+        x_k = jax.lax.psum(jnp.where(my == k, x_k, jnp.zeros_like(x_k)), axis)
+        x_local = jnp.where(my == k, x_k, x_local)
+        acc = acc + L_kk @ x_k
+        return x_local, acc
+
+    return body
+
+
+def _inverse_diagonal_local(L_local, *, b: int, G: int, axis: str):
+    """diag(A⁻¹) from the row-sharded factor, O(N²/G + N) bytes per device.
+
+    For each column panel j, the identity panel E_j is constructed *locally*
+    (a (b, b) identity on the owner, zeros elsewhere — never an N×N
+    identity), forward-substituted with the sharded-state solver, and the
+    per-column squared norms are psum-reduced straight into the owner's (b,)
+    slice of the output.  Nothing O(N²) or even O(N·b) replicated ever
+    exists; peak per-device live bytes are the L panel itself.
+    """
+    my = jax.lax.axis_index(axis)
+    eye_b = jnp.eye(b, dtype=L_local.dtype)
+    zeros_bb = jnp.zeros((b, b), dtype=L_local.dtype)
+
+    def panel(j, out):
+        rhs_local = jnp.where(my == j, eye_b, zeros_bb)
+        body = _fwd_sub_body(L_local, rhs_local, my, b, G, axis)
+        x0 = _pvary(jnp.zeros((b, b), dtype=L_local.dtype), axis)
+        x_local, _ = jax.lax.fori_loop(0, G, body, (x0, jnp.zeros_like(x0)))
+        # diag(A⁻¹)[j·b:(j+1)·b] = column norms of L⁻¹E_j over ALL rows
+        s = jax.lax.psum(jnp.sum(x_local * x_local, axis=0), axis)
+        return jnp.where(my == j, s, out)
+
+    return jax.lax.fori_loop(
+        0, G, panel, _pvary(jnp.zeros((b,), dtype=L_local.dtype), axis)
+    )
+
+
 def distributed_inverse_diagonal(L, mesh: Mesh, axis: str = "data"):
     """diag(A⁻¹) with A = L Lᵀ row-sharded — the engine of fast LOO CV under
-    sharding (SURVEY.md §7 'hard parts').
+    sharding (SURVEY.md §7 'hard parts'; reference capability:
+    serializable_ldlt.hpp:137-217 inverse_diagonal).
 
-    Strategy: for each column panel j, forward-substitute L X = E_j (the
-    identity panel) with the existing distributed solver; the diagonal
-    contribution of panel j is the per-column squared norm of X.  G panel
-    solves ≈ one full inverse worth of FLOPs, all MXU-tiled.
+    One fused shard_map: G panel solves ≈ one full inverse worth of FLOPs,
+    all MXU-tiled, with no replicated O(N·x) structure anywhere (the former
+    implementation built an N×N identity — 40 GB at the N=100k north star).
+    Output is sharded over ``axis``.
     """
     G = mesh.shape[axis]
     n = L.shape[0]
     b = n // G
-    parts = []
-    eye = jnp.eye(n, dtype=L.dtype)
-    for j in range(G):
-        rhs = eye[:, j * b : (j + 1) * b]
-        x = distributed_sqrt_solve(L, rhs, mesh, axis)
-        parts.append(jnp.sum(x * x, axis=0))
-    return jnp.concatenate(parts)
+    fn = jax.shard_map(
+        functools.partial(_inverse_diagonal_local, b=b, G=G, axis=axis),
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis),
+    )
+    return fn(L)
+
+
+def _inverse_block_local(L_local, idx, *, b: int, G: int, axis: str):
+    """One (A⁻¹)_gg block: identity columns at ``idx`` built locally as a
+    (b, m) 0/1 mask, forward-substituted with sharded state, block = psum of
+    local XᵀX.  Per-device live bytes: O(N²/G + b·m)."""
+    my = jax.lax.axis_index(axis)
+    m = idx.shape[0]
+    rows_global = jax.lax.broadcasted_iota(jnp.int32, (b, m), 0) + my * b
+    rhs_local = (rows_global == idx[None, :].astype(jnp.int32)).astype(
+        L_local.dtype
+    )
+    body = _fwd_sub_body(L_local, rhs_local, my, b, G, axis)
+    x0 = _pvary(jnp.zeros((b, m), dtype=L_local.dtype), axis)
+    x_local, _ = jax.lax.fori_loop(0, G, body, (x0, jnp.zeros_like(x0)))
+    return jax.lax.psum(x_local.T @ x_local, axis)
 
 
 def distributed_inverse_blocks(L, indices_groups, mesh: Mesh, axis: str = "data"):
     """Diagonal blocks (A⁻¹)_gg from the row-sharded factor — fast LOGO CV
-    under sharding.  For each group g, solve L X = E_g (identity columns at
-    g's indices) with the distributed forward substitution; the block is
-    XᵀX."""
+    under sharding (serializable_ldlt.hpp:137-175 under sharding).  Groups of
+    equal size are batched into one shard_map call each; the identity
+    right-hand sides are constructed locally so nothing O(N·m) replicates."""
+    G = mesh.shape[axis]
     n = L.shape[0]
+    b = n // G
     blocks = []
     for idx in indices_groups:
         idx = jnp.asarray(idx)
-        rhs = jnp.zeros((n, idx.shape[0]), dtype=L.dtype)
-        rhs = rhs.at[idx, jnp.arange(idx.shape[0])].set(1.0)
-        x = distributed_sqrt_solve(L, rhs, mesh, axis)
-        blocks.append(x.T @ x)
+        fn = jax.shard_map(
+            functools.partial(_inverse_block_local, b=b, G=G, axis=axis),
+            mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=P(),
+        )
+        blocks.append(fn(L, idx))
     return blocks

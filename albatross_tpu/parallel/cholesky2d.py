@@ -1,0 +1,393 @@
+"""2-D block-sharded Cholesky: O(N²/(R·C)) bytes per device.
+
+The TP-analog decomposition from SURVEY.md §2's parallelism checklist: the
+N×N SPD matrix lives tile-sharded over a 2-D (R rows × C cols) device mesh —
+device (i, j) owns only its (N/R, N/C) tile, so pod-scale N is bounded by
+*total* HBM, not per-chip HBM (the 1-D row-panel layout in cholesky.py needs
+N²/R bytes per chip).  Replaces the capability of the reference's
+single-node Eigen LDLT (serializable_ldlt.hpp:19-217) at pod scale.
+
+Factorization (right-looking, panel width p dividing the tile width):
+
+    for each panel k:
+      1. the device column owning panel k contributes its rows; one psum
+         over the column axis + one all-gather over the row axis assembles
+         the full (N, p) panel on every device (the only O(N·p) transient);
+      2. every device redundantly factorizes the p×p diagonal block and
+         forms the panel of L via a GEMM against the blocked triangular
+         inverse (p³ ≪ the trailing GEMM);
+      3. each device applies the rank-p trailing update to its own tile:
+         one (br × p × bc) MXU GEMM, masked so finalized panels see zeros.
+
+Solves walk q-blocks (q = gcd(br, bc), so every diagonal q-block lives on
+exactly one device) with sharded state: each device carries only its (br, m)
+rows of the solution; one psum per step.  check_vma note: solved blocks are
+broadcast with psums over *both* axes so loop carries stay varying over the
+row axis only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ..ops.blocked_cholesky import DEFAULT_PANEL_SUB, blocked_tri_inverse
+from .cholesky import _i32, _pvary
+
+
+def _default_panel(bc: int) -> int:
+    if bc <= 1024:
+        return bc
+    for p in (1024, 512, 256, 128):
+        if bc % p == 0:
+            return p
+    return bc
+
+
+def _chol2d_local(A_local, *, br, bc, p, R, C, row_axis, col_axis):
+    n = br * R
+    i = jax.lax.axis_index(row_axis)
+    j = jax.lax.axis_index(col_axis)
+    steps = n // p
+
+    def body(k, A):
+        j_k = (k * p) // bc
+        o_c = k * p - j_k * bc
+        # 1. assemble panel k: owner column contributes its rows
+        contrib = jax.lax.dynamic_slice(A, _i32(0, o_c), (br, p))
+        contrib = jnp.where(j == j_k, contrib, 0.0)
+        col_mine = jax.lax.psum(contrib, col_axis)  # (br, p)
+        col_full = jax.lax.all_gather(
+            col_mine, row_axis, tiled=True
+        )  # (n, p) — identical on every device
+
+        # 2. diagonal factor + GEMM-composed inverse (redundant, tiny)
+        diag = jax.lax.dynamic_slice(col_full, _i32(k * p, 0), (p, p))
+        L_kk = jnp.linalg.cholesky(diag)
+        W = blocked_tri_inverse(L_kk, DEFAULT_PANEL_SUB)
+        panel = col_full @ W.T  # (n, p)
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        below = row_ids >= (k + 1) * p
+        L_col = jnp.where(below, panel, 0.0)
+        diag_rows = jnp.zeros_like(col_full)
+        diag_rows = jax.lax.dynamic_update_slice(diag_rows, L_kk, _i32(k * p, 0))
+        in_diag = (row_ids >= k * p) & (row_ids < (k + 1) * p)
+        L_col = jnp.where(in_diag, diag_rows, L_col)
+
+        # write our rows of the finished panel into our tile (owner column)
+        mine = jax.lax.dynamic_slice(L_col, _i32(i * br, 0), (br, p))
+        A = jnp.where(
+            j == j_k, jax.lax.dynamic_update_slice(A, mine, _i32(0, o_c)), A
+        )
+
+        # 3. trailing update on our tile: rows/cols ≤ the panel end are
+        # zeroed in L_below, so finalized entries see a zero update.
+        L_below = jnp.where(below, panel, 0.0)
+        Lr = jax.lax.dynamic_slice(L_below, _i32(i * br, 0), (br, p))
+        Lc = jax.lax.dynamic_slice(L_below, _i32(j * bc, 0), (bc, p))
+        return A - Lr @ Lc.T
+
+    A_local = jax.lax.fori_loop(0, steps, body, A_local)
+    # zero the strictly-upper triangle of our tile
+    rows_g = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0) + i * br
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1) + j * bc
+    return jnp.where(cols_g <= rows_g, A_local, 0.0)
+
+
+def distributed_cholesky_2d(
+    A,
+    mesh: Mesh,
+    row_axis: str = "data",
+    col_axis: str = "model",
+    panel: int | None = None,
+):
+    """Cholesky of an SPD matrix tile-sharded over a 2-D mesh.
+
+    A must be (N, N) with N divisible by both mesh axis sizes.  Returns L
+    (lower), tile-sharded the same way — no device ever holds more than
+    N²/(R·C) matrix bytes plus one (N, panel) transient.
+    """
+    R, C = mesh.shape[row_axis], mesh.shape[col_axis]
+    n = A.shape[0]
+    if n % R != 0 or n % C != 0:
+        raise ValueError(f"N={n} not divisible by mesh axes ({R}, {C})")
+    br, bc = n // R, n // C
+    p = panel if panel is not None else _default_panel(bc)
+    if bc % p != 0:
+        raise ValueError(f"panel={p} must divide the tile width {bc}")
+    fn = jax.shard_map(
+        functools.partial(
+            _chol2d_local,
+            br=br,
+            bc=bc,
+            p=p,
+            R=R,
+            C=C,
+            row_axis=row_axis,
+            col_axis=col_axis,
+        ),
+        mesh=mesh,
+        in_specs=P(row_axis, col_axis),
+        out_specs=P(row_axis, col_axis),
+    )
+    return fn(A)
+
+
+def _fwd2d_body(L_local, rhs_local, *, br, bc, q, row_axis, col_axis):
+    """Forward-substitution loop body over q-blocks with sharded state.
+
+    Carries (x_local, acc): our (br, m) rows of x, and the accumulator of
+    already-applied L[my rows, solved cols] @ x products over OUR tile's
+    columns (summed across the device row only at read time).
+    """
+    i = jax.lax.axis_index(row_axis)
+    j = jax.lax.axis_index(col_axis)
+    eye_q = jnp.eye(q, dtype=L_local.dtype)
+    m = rhs_local.shape[1]
+
+    def body(k, carry):
+        x_local, acc = carry
+        i_k = (k * q) // br
+        o_r = k * q - i_k * br
+        j_k = (k * q) // bc
+        o_c = k * q - j_k * bc
+        # effective numerator on the owning device row: psum partial
+        # accumulators across the row's devices
+        acc_k = jax.lax.dynamic_slice(acc, _i32(o_r, 0), (q, m))
+        acc_k = jax.lax.psum(jnp.where(i == i_k, acc_k, 0.0), col_axis)
+        num = jax.lax.dynamic_slice(rhs_local, _i32(o_r, 0), (q, m)) - acc_k
+        L_kk = jax.lax.dynamic_slice(L_local, _i32(o_r, o_c), (q, q))
+        owner = (i == i_k) & (j == j_k)
+        # identity substitute off-owner: keeps reverse-mode finite (the
+        # masked-out solves would otherwise divide by zero diagonals)
+        L_kk_safe = jnp.where(owner, L_kk, eye_q)
+        x_k = solve_triangular(L_kk_safe, num, lower=True)
+        x_k = jax.lax.psum(
+            jnp.where(owner, x_k, jnp.zeros_like(x_k)), (row_axis, col_axis)
+        )
+        x_local = jnp.where(
+            i == i_k, jax.lax.dynamic_update_slice(x_local, x_k, _i32(o_r, 0)), x_local
+        )
+        # fold block k into our accumulator iff our tile holds its columns
+        Lcol = jax.lax.dynamic_slice(L_local, _i32(0, o_c), (br, q))
+        acc = acc + jnp.where(j == j_k, Lcol, 0.0) @ x_k
+        return x_local, acc
+
+    return body
+
+
+def _solve2d(L_local, rhs_local, *, br, bc, q, steps, row_axis, col_axis, lower):
+    body = _fwd2d_body(
+        L_local, rhs_local, br=br, bc=bc, q=q, row_axis=row_axis, col_axis=col_axis
+    )
+    if lower:
+        # x stays varying over the row axis only; the accumulator mixes in
+        # tile columns so it varies over both axes
+        x0 = _pvary(jnp.zeros_like(rhs_local), row_axis)
+        acc0 = _pvary(jnp.zeros_like(rhs_local), (row_axis, col_axis))
+        x, _ = jax.lax.fori_loop(0, steps, body, (x0, acc0))
+        return x
+    return _bwd2d(
+        L_local, rhs_local, br=br, bc=bc, q=q, steps=steps,
+        row_axis=row_axis, col_axis=col_axis,
+    )
+
+
+def _bwd2d(L_local, rhs_local, *, br, bc, q, steps, row_axis, col_axis):
+    """Lᵀ x = rhs over q-blocks, sharded state (see module docstring)."""
+    i = jax.lax.axis_index(row_axis)
+    j = jax.lax.axis_index(col_axis)
+    eye_q = jnp.eye(q, dtype=L_local.dtype)
+    m = rhs_local.shape[1]
+
+    def body(s, x_local):
+        k = steps - 1 - s
+        i_k = (k * q) // br
+        o_r = k * q - i_k * br
+        j_k = (k * q) // bc
+        o_c = k * q - j_k * bc
+        # (Lᵀ x)_k: the k-th block column of L lives down device column j_k;
+        # unsolved rows of x_local are still zero, and rows above the
+        # diagonal hold zeros in L, so no extra masking is needed.
+        Lcol = jax.lax.dynamic_slice(L_local, _i32(0, o_c), (br, q))
+        contrib = jnp.where(j == j_k, Lcol, 0.0).T @ x_local  # (q, m)
+        total = jax.lax.psum(contrib, (row_axis, col_axis))
+        num = jax.lax.dynamic_slice(rhs_local, _i32(o_r, 0), (q, m)) - total
+        L_kk = jax.lax.dynamic_slice(L_local, _i32(o_r, o_c), (q, q))
+        owner = (i == i_k) & (j == j_k)
+        L_kk_safe = jnp.where(owner, L_kk, eye_q)
+        x_k = solve_triangular(L_kk_safe.T, num, lower=False)
+        x_k = jax.lax.psum(
+            jnp.where(owner, x_k, jnp.zeros_like(x_k)), (row_axis, col_axis)
+        )
+        return jnp.where(
+            i == i_k,
+            jax.lax.dynamic_update_slice(x_local, x_k, _i32(o_r, 0)),
+            x_local,
+        )
+
+    return jax.lax.fori_loop(0, steps, body, jnp.zeros_like(rhs_local))
+
+
+def _shape2d(L, mesh, row_axis, col_axis):
+    R, C = mesh.shape[row_axis], mesh.shape[col_axis]
+    n = L.shape[0]
+    br, bc = n // R, n // C
+    q = math.gcd(br, bc)
+    return n, br, bc, q, n // q
+
+
+def distributed_sqrt_solve_2d(L, rhs, mesh, row_axis="data", col_axis="model"):
+    """L⁻¹ rhs with L tile-sharded; result row-sharded over ``row_axis``."""
+    n, br, bc, q, steps = _shape2d(L, mesh, row_axis, col_axis)
+    vec = rhs.ndim == 1
+    rhs2 = rhs[:, None] if vec else rhs
+
+    def local(L_local, rhs_local):
+        return _solve2d(
+            L_local, rhs_local, br=br, bc=bc, q=q, steps=steps,
+            row_axis=row_axis, col_axis=col_axis, lower=True,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(row_axis, col_axis), P(row_axis, None)),
+        out_specs=P(row_axis, None),
+    )
+    out = fn(L, rhs2)
+    return out[:, 0] if vec else out
+
+
+def distributed_solve_2d(L, rhs, mesh, row_axis="data", col_axis="model"):
+    """(L Lᵀ)⁻¹ rhs through both triangles; result row-sharded."""
+    n, br, bc, q, steps = _shape2d(L, mesh, row_axis, col_axis)
+    vec = rhs.ndim == 1
+    rhs2 = rhs[:, None] if vec else rhs
+
+    def local(L_local, rhs_local):
+        y = _solve2d(
+            L_local, rhs_local, br=br, bc=bc, q=q, steps=steps,
+            row_axis=row_axis, col_axis=col_axis, lower=True,
+        )
+        return _bwd2d(
+            L_local, y, br=br, bc=bc, q=q, steps=steps,
+            row_axis=row_axis, col_axis=col_axis,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(row_axis, col_axis), P(row_axis, None)),
+        out_specs=P(row_axis, None),
+    )
+    out = fn(L, rhs2)
+    return out[:, 0] if vec else out
+
+
+def distributed_log_determinant_2d(L, mesh, row_axis="data", col_axis="model"):
+    """2 Σ log diag(L) with L tile-sharded."""
+    R, C = mesh.shape[row_axis], mesh.shape[col_axis]
+    n = L.shape[0]
+    br, bc = n // R, n // C
+
+    def local(L_local):
+        i = jax.lax.axis_index(row_axis)
+        j = jax.lax.axis_index(col_axis)
+        rows_g = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0) + i * br
+        cols_g = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1) + j * bc
+        on_diag = rows_g == cols_g
+        vals = jnp.where(on_diag, L_local, 1.0)
+        return jax.lax.psum(
+            2.0 * jnp.sum(jnp.where(on_diag, jnp.log(vals), 0.0)),
+            (row_axis, col_axis),
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=P(row_axis, col_axis), out_specs=P()
+    )
+    return fn(L)
+
+
+def distributed_inverse_diagonal_2d(L, mesh, row_axis="data", col_axis="model"):
+    """diag(A⁻¹) from the tile-sharded factor — fast LOO CV at pod scale.
+
+    N/q identity panels, each constructed locally (never an N×N identity)
+    and forward-substituted with sharded state; per-panel column norms are
+    psum-reduced into the owning row's slice of the (row-sharded) output.
+    """
+    n, br, bc, q, steps = _shape2d(L, mesh, row_axis, col_axis)
+
+    def local(L_local):
+        i = jax.lax.axis_index(row_axis)
+        eye_q = jnp.eye(q, dtype=L_local.dtype)
+
+        def panel(jp, out):
+            i_p = (jp * q) // br
+            o_r = jp * q - i_p * br
+            rows_g = (
+                jax.lax.broadcasted_iota(jnp.int32, (br, q), 0) + i * br
+            )
+            cols_g = jax.lax.broadcasted_iota(jnp.int32, (br, q), 1) + jp * q
+            rhs_local = (rows_g == cols_g).astype(L_local.dtype)
+            x = _solve2d(
+                L_local, rhs_local, br=br, bc=bc, q=q, steps=steps,
+                row_axis=row_axis, col_axis=col_axis, lower=True,
+            )
+            # Σ over all rows of x² per column; x is varying over the row
+            # axis only, so psum over rows yields the true column norms
+            # (identical across the device row).
+            s = jax.lax.psum(jnp.sum(x * x, axis=0), row_axis)
+            return jnp.where(
+                i == i_p,
+                jax.lax.dynamic_update_slice(out, s, _i32(o_r)),
+                out,
+            )
+
+        return jax.lax.fori_loop(
+            0, steps, panel,
+            _pvary(jnp.zeros((br,), dtype=L_local.dtype), row_axis),
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=P(row_axis, col_axis), out_specs=P(row_axis)
+    )
+    return fn(L)
+
+
+def distributed_inverse_blocks_2d(
+    L, indices_groups, mesh, row_axis="data", col_axis="model"
+):
+    """Diagonal blocks (A⁻¹)_gg from the tile-sharded factor (fast LOGO)."""
+    n, br, bc, q, steps = _shape2d(L, mesh, row_axis, col_axis)
+
+    def local(L_local, idx):
+        i = jax.lax.axis_index(row_axis)
+        m = idx.shape[0]
+        rows_g = jax.lax.broadcasted_iota(jnp.int32, (br, m), 0) + i * br
+        rhs_local = (rows_g == idx[None, :].astype(jnp.int32)).astype(
+            L_local.dtype
+        )
+        x = _solve2d(
+            L_local, rhs_local, br=br, bc=bc, q=q, steps=steps,
+            row_axis=row_axis, col_axis=col_axis, lower=True,
+        )
+        return jax.lax.psum(x.T @ x, row_axis)
+
+    blocks = []
+    for idx in indices_groups:
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(row_axis, col_axis), P()),
+            out_specs=P(),
+        )
+        blocks.append(fn(L, jnp.asarray(idx)))
+    return blocks

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +32,15 @@ from .cholesky import (
     distributed_solve,
     distributed_sqrt_solve,
 )
-from .gram import sharded_gram
+from .cholesky2d import (
+    distributed_cholesky_2d,
+    distributed_inverse_blocks_2d,
+    distributed_inverse_diagonal_2d,
+    distributed_log_determinant_2d,
+    distributed_solve_2d,
+    distributed_sqrt_solve_2d,
+)
+from .gram import sharded_gram, sharded_gram_2d
 
 LOG_2PI = math.log(2.0 * math.pi)
 
@@ -72,6 +81,52 @@ class DistributedCholesky:
         )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DistributedCholesky2D:
+    """Tile-sharded (2-D mesh) Cholesky factor bound to its mesh.
+
+    Per-device bytes for the factor are N²/(R·C) — the pod-scale layout
+    (SURVEY.md §2 checklist: 2-D block sharding / TP analog)."""
+
+    L: jax.Array  # (N, N), tile-sharded over (row_axis, col_axis)
+    mesh: Mesh
+    row_axis: str = "data"
+    col_axis: str = "model"
+
+    def tree_flatten(self):
+        return (self.L,), (self.mesh, self.row_axis, self.col_axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], aux[2])
+
+    def solve(self, rhs):
+        return distributed_solve_2d(
+            self.L, rhs, self.mesh, self.row_axis, self.col_axis
+        )
+
+    def sqrt_solve(self, rhs):
+        return distributed_sqrt_solve_2d(
+            self.L, rhs, self.mesh, self.row_axis, self.col_axis
+        )
+
+    def log_determinant(self):
+        return distributed_log_determinant_2d(
+            self.L, self.mesh, self.row_axis, self.col_axis
+        )
+
+    def inverse_diagonal(self):
+        return distributed_inverse_diagonal_2d(
+            self.L, self.mesh, self.row_axis, self.col_axis
+        )
+
+    def inverse_blocks(self, indices_groups):
+        return distributed_inverse_blocks_2d(
+            self.L, indices_groups, self.mesh, self.row_axis, self.col_axis
+        )
+
+
 class DistributedGaussianProcess(GaussianProcess):
     """Exact GP whose fit-time linear algebra is mesh-distributed.
 
@@ -79,24 +134,53 @@ class DistributedGaussianProcess(GaussianProcess):
     covariance representation, which dispatches to the distributed factor.
     """
 
-    def __init__(self, covariance, mesh: Mesh, mean=None, axis: str = "data", **kw):
+    def __init__(
+        self,
+        covariance,
+        mesh: Mesh,
+        mean=None,
+        axis: str = "data",
+        col_axis: Optional[str] = None,
+        **kw,
+    ):
         super().__init__(covariance, mean, **kw)
         self.mesh = mesh
         self.axis = axis
+        # col_axis selects the 2-D tile-sharded layout (N²/(R·C) bytes per
+        # device); default (None) keeps the 1-D row-panel layout.
+        self.col_axis = col_axis
 
-    def _fit_impl(self, features, targets: MarginalDistribution) -> GPFit:
-        K = sharded_gram(
+    def _sharded_factorize(self, features, target_variance):
+        """Gram + Cholesky in the mesh layout this model was built with."""
+        if self.col_axis is None:
+            K = sharded_gram(
+                self.covariance_function,
+                features,
+                self.mesh,
+                self.axis,
+                measurement=True,
+                target_variance=target_variance,
+            )
+            if self.jitter:
+                K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
+            L = distributed_cholesky(K, self.mesh, self.axis)
+            return DistributedCholesky(L, self.mesh, self.axis)
+        K = sharded_gram_2d(
             self.covariance_function,
             features,
             self.mesh,
             self.axis,
+            self.col_axis,
             measurement=True,
-            target_variance=targets.variance,
+            target_variance=target_variance,
         )
         if self.jitter:
             K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
-        L = distributed_cholesky(K, self.mesh, self.axis)
-        chol = DistributedCholesky(L, self.mesh, self.axis)
+        L = distributed_cholesky_2d(K, self.mesh, self.axis, self.col_axis)
+        return DistributedCholesky2D(L, self.mesh, self.axis, self.col_axis)
+
+    def _fit_impl(self, features, targets: MarginalDistribution) -> GPFit:
+        chol = self._sharded_factorize(features, targets.variance)
         zero_mean = self.mean_function.remove_from(
             as_measurement(features), targets.mean
         )
@@ -108,15 +192,7 @@ class DistributedGaussianProcess(GaussianProcess):
         zero_mean = self.mean_function.remove_from(
             measurements, dataset.targets.mean
         )
-        K = sharded_gram(
-            self.covariance_function,
-            dataset.features,
-            self.mesh,
-            self.axis,
-            measurement=True,
-        )
-        L = distributed_cholesky(K, self.mesh, self.axis)
-        chol = DistributedCholesky(L, self.mesh, self.axis)
+        chol = self._sharded_factorize(dataset.features, None)
         white = chol.sqrt_solve(zero_mean)
         n = zero_mean.shape[0]
         nll = 0.5 * (

@@ -291,3 +291,183 @@ def test_distributed_logo_cv(mesh, rng):
             np.asarray(ref[key].covariance),
             rtol=1e-6,
         )
+
+
+# ---------------------------------------------------------------------------
+# 2-D tile-sharded factorization (round 2: SURVEY §2 checklist "2-D block
+# sharding (TP-analog) of K for O(N²) memory scaling on pods")
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from albatross_tpu.parallel import make_mesh as mm
+
+    return mm(8, ("data", "model"), shape=(4, 2))
+
+
+def test_distributed_cholesky_2d_matches_dense(mesh2d, rng):
+    from albatross_tpu.parallel import (
+        distributed_cholesky_2d,
+        distributed_inverse_blocks_2d,
+        distributed_inverse_diagonal_2d,
+        distributed_log_determinant_2d,
+        distributed_solve_2d,
+        distributed_sqrt_solve_2d,
+    )
+
+    n = 64
+    A = jnp.asarray(spd_matrix(rng, n))
+    L = distributed_cholesky_2d(A, mesh2d)
+    L_ref = np.linalg.cholesky(np.asarray(A))
+    np.testing.assert_allclose(np.asarray(L), L_ref, atol=1e-9)
+    # per-device tile is (n/R, n/C) — N²/(R·C) bytes, the pod-scale layout
+    assert L.sharding.shard_shape(L.shape) == (16, 32)
+
+    rhs = jnp.asarray(rng.standard_normal((n, 3)))
+    x = distributed_solve_2d(L, rhs, mesh2d)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(rhs)), rtol=1e-8
+    )
+    w = distributed_sqrt_solve_2d(L, rhs[:, 0], mesh2d)
+    np.testing.assert_allclose(
+        np.asarray(w), np.linalg.solve(L_ref, np.asarray(rhs[:, 0])), rtol=1e-8
+    )
+    ld = distributed_log_determinant_2d(L, mesh2d)
+    assert float(ld) == pytest.approx(
+        float(np.linalg.slogdet(np.asarray(A))[1]), rel=1e-10
+    )
+    Ainv = np.linalg.inv(np.asarray(A))
+    d = distributed_inverse_diagonal_2d(L, mesh2d)
+    np.testing.assert_allclose(np.asarray(d), np.diagonal(Ainv), rtol=1e-8)
+    blocks = distributed_inverse_blocks_2d(L, [np.arange(3, 9)], mesh2d)
+    np.testing.assert_allclose(np.asarray(blocks[0]), Ainv[3:9, 3:9], rtol=1e-8)
+
+
+def test_distributed_gp_2d_matches_single_chip(mesh2d, rng):
+    n = 32
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    data = RegressionDataset.create(
+        jnp.asarray(x), jnp.asarray(y), variance=jnp.full((n,), 0.01)
+    )
+    kernel = SquaredExponential(1.5, 1.0) + measurement_only(
+        IndependentNoise(0.2)
+    )
+    single = gp_from_covariance(kernel)
+    multi = distributed_gp_from_covariance(kernel, mesh2d, col_axis="model")
+
+    xs = jnp.linspace(0.5, 9.5, 8)
+    p1 = single.fit(data).predict(xs).marginal()
+    p2 = multi.fit(data).predict(xs).marginal()
+    np.testing.assert_allclose(np.asarray(p2.mean), np.asarray(p1.mean), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(p2.variance), np.asarray(p1.variance), rtol=1e-7
+    )
+    assert float(multi.log_likelihood(data)) == pytest.approx(
+        float(single.log_likelihood(data)), rel=1e-10
+    )
+
+
+def test_distributed_gp_2d_gradients(mesh2d, rng):
+    n = 16
+    x = np.sort(rng.uniform(0, 10, n))
+    data = RegressionDataset.create(jnp.asarray(x), jnp.asarray(np.sin(x)))
+    kernel = SquaredExponential(2.0, 1.0) + IndependentNoise(0.1)
+    g2 = jax.grad(lambda m: -m.log_likelihood(data))(
+        distributed_gp_from_covariance(kernel, mesh2d, col_axis="model")
+    ).get_params()
+    g1 = jax.grad(lambda m: -m.log_likelihood(data))(
+        gp_from_covariance(kernel)
+    ).get_params()
+    for name in g1:
+        assert float(g2[name].value) == pytest.approx(
+            float(g1[name].value), rel=1e-6
+        ), name
+
+
+def test_distributed_loo_2d_matches_single_chip(mesh2d, rng):
+    from albatross_tpu.evaluation.cross_validation_utils import (
+        held_out_predictions,
+    )
+    from albatross_tpu.indexing import LeaveOneOutGrouper, group_by
+
+    n = 32
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    data = RegressionDataset.create(
+        jnp.asarray(x), jnp.asarray(y), variance=jnp.full((n,), 0.01)
+    )
+    kernel = SquaredExponential(1.5, 1.0) + measurement_only(
+        IndependentNoise(0.2)
+    )
+    single = gp_from_covariance(kernel)
+    multi = distributed_gp_from_covariance(kernel, mesh2d, col_axis="model")
+    indexers = group_by(data, LeaveOneOutGrouper()).indexers()
+    ref = single.cross_validated_predictions(data, indexers, None)
+    f = multi.fit(data)
+    got = held_out_predictions(
+        f.fit.train_covariance, data.targets.mean, f.fit.information,
+        indexers, None,
+    )
+    for key in indexers:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), rtol=1e-8
+        )
+
+
+def test_no_device_holds_n_squared(mesh, mesh2d, rng):
+    """VERDICT round-1 #1 done-criterion: prove no device ever materializes
+    an O(N²) replicated structure in the fast-LOO / solve engines.
+
+    The former distributed_inverse_diagonal built an N×N identity (replicated
+    on every device); the rewrite constructs identity panels locally.  We
+    assert through XLA's compiled memory statistics: per-device temp bytes
+    stay well under N² (the replicated identity alone would be N²·8)."""
+    from albatross_tpu.parallel import (
+        distributed_cholesky,
+        distributed_cholesky_2d,
+        distributed_inverse_diagonal,
+        distributed_inverse_diagonal_2d,
+        distributed_solve,
+    )
+
+    n = 256
+    nsq_bytes = n * n * 8
+    A = jnp.asarray(spd_matrix(rng, n))
+    L = distributed_cholesky(A, mesh)
+
+    # 1-D fast-LOO engine: per-device temps ≪ N²
+    comp = jax.jit(lambda L: distributed_inverse_diagonal(L, mesh)).lower(L).compile()
+    assert comp.memory_analysis().temp_size_in_bytes < nsq_bytes // 2
+
+    # 1-D solves keep state sharded: output is sharded, temps ≪ N²
+    rhs = jnp.asarray(rng.standard_normal(n))
+    comp = jax.jit(lambda L, r: distributed_solve(L, r, mesh)).lower(L, rhs).compile()
+    assert comp.memory_analysis().temp_size_in_bytes < nsq_bytes // 2
+    x = distributed_solve(L, rhs, mesh)
+    assert x.sharding.shard_shape(x.shape) == (n // 8,)
+
+    # 2-D factorization: the factor itself is tile-sharded (N²/(R·C) per
+    # device) and factorization temps are O(N·panel), not O(N²)
+    L2 = distributed_cholesky_2d(A, mesh2d)
+    assert L2.sharding.shard_shape(L2.shape) == (n // 4, n // 2)
+    # temps are tile double-buffers + O(N·panel) transients: they must
+    # shrink with the panel width (an O(N²) replicated structure wouldn't)
+    temps = {}
+    for p in (128, 32):
+        comp = (
+            jax.jit(lambda A: distributed_cholesky_2d(A, mesh2d, panel=p))
+            .lower(A)
+            .compile()
+        )
+        temps[p] = comp.memory_analysis().temp_size_in_bytes
+    assert temps[32] < temps[128] / 2
+    assert temps[32] < nsq_bytes // 2
+    comp = (
+        jax.jit(lambda L: distributed_inverse_diagonal_2d(L, mesh2d))
+        .lower(L2)
+        .compile()
+    )
+    # tile + O(N·q) working set — strictly below one replicated N×N
+    assert comp.memory_analysis().temp_size_in_bytes < nsq_bytes
