@@ -68,28 +68,51 @@ class CVPrediction:
         return self._grouped(predict_type)
 
     # -- concatenated-in-original-order views -------------------------------
-    def _scatter(self, grouped_means, grouped_vars=None):
+    def _order(self):
+        return jnp.asarray(
+            np.concatenate([np.asarray(i) for i in self.indexers.values()])
+        )
+
+    def _scatter_flat(self, flat_mean, flat_var=None):
         n = self.dataset.size
-        order = np.concatenate([np.asarray(i) for i in self.indexers.values()])
-        mean = jnp.zeros(n)
-        mean = mean.at[jnp.asarray(order)].set(
-            jnp.concatenate([jnp.atleast_1d(m) for m in grouped_means])
-        )
-        if grouped_vars is None:
+        order = self._order()
+        mean = jnp.zeros(n, dtype=flat_mean.dtype).at[order].set(flat_mean)
+        if flat_var is None:
             return mean
-        var = jnp.zeros(n)
-        var = var.at[jnp.asarray(order)].set(
-            jnp.concatenate([jnp.atleast_1d(v) for v in grouped_vars])
-        )
+        var = jnp.zeros(n, dtype=flat_var.dtype).at[order].set(flat_var)
         return mean, var
+
+    def _scatter(self, grouped_means, grouped_vars=None):
+        flat_mean = jnp.concatenate([jnp.atleast_1d(m) for m in grouped_means])
+        flat_var = (
+            None
+            if grouped_vars is None
+            else jnp.concatenate([jnp.atleast_1d(v) for v in grouped_vars])
+        )
+        return self._scatter_flat(flat_mean, flat_var)
 
     def mean(self) -> jnp.ndarray:
         """Held-out means scattered back to dataset order
         (cross_validation.hpp concatenate_mean_predictions)."""
-        return self._scatter([m for m in self.means().values()])
+        from .cross_validation_utils import BatchedGrouped
+
+        means = self.means()
+        if isinstance(means, BatchedGrouped):
+            # array-backed fast path: one reshape + one scatter, no
+            # per-group python objects
+            return self._scatter_flat(means.means.reshape(-1))
+        return self._scatter([m for m in means.values()])
 
     def marginal(self) -> MarginalDistribution:
+        from .cross_validation_utils import BatchedGrouped
+
         marginals = self.marginals()
+        if isinstance(marginals, BatchedGrouped):
+            mean, var = self._scatter_flat(
+                marginals.means.reshape(-1),
+                marginals.variances.reshape(-1),
+            )
+            return MarginalDistribution(mean, var)
         mean, var = self._scatter(
             [m.mean for m in marginals.values()],
             [m.get_variance() for m in marginals.values()],
@@ -114,9 +137,21 @@ class CrossValidation:
 
     def scores(self, metric, dataset: RegressionDataset, grouper):
         """Per-fold metric values (cross_validation.hpp:306-316)."""
+        from .cross_validation_utils import (
+            BatchedGrouped,
+            batched_cross_validated_scores,
+        )
+
         indexers = self._indexers(dataset, grouper)
-        folds = folds_from_group_indexer(dataset, indexers)
         cv_pred = CVPrediction(self.model, dataset, indexers)
         required = getattr(metric, "required_predict_type", None)
         predictions = cv_pred.get(required)
+        if isinstance(predictions, BatchedGrouped):
+            # all fold scores in one vmapped dispatch — no fold objects
+            out = batched_cross_validated_scores(
+                metric, dataset, indexers, predictions
+            )
+            if out is not None:
+                return out
+        folds = folds_from_group_indexer(dataset, indexers)
         return cross_validated_scores(metric, folds, predictions)

@@ -316,15 +316,32 @@ class CallTreeNode:
         return self.pretty()
 
 
+def _batch_one(feature):
+    """Wrap one feature as a 1-element batch, preserving the caller-chain
+    wrappers (Measurement tags, LinearCombination, variant tags) so every
+    traced node sees exactly what a real gram evaluation would
+    (call_trace.hpp walks the same caller chain)."""
+    from .features import LinearCombinationBatch, Measurement
+    from .variants import TaggedBatch
+
+    if isinstance(feature, Measurement):
+        return Measurement(_batch_one(feature.value))
+    if isinstance(feature, (LinearCombinationBatch, TaggedBatch)):
+        return feature  # already batch-level wrappers
+    # scalar → (1,); (D,) vector feature → (1, D)
+    return jnp.asarray(feature)[None]
+
+
 def _trace(kernel: CovarianceFunction, x, y) -> CallTreeNode:
-    Xb = jnp.atleast_1d(jnp.asarray(x))[None] if jnp.ndim(x) <= 1 else jnp.asarray(x)[None]
-    Yb = jnp.atleast_1d(jnp.asarray(y))[None] if jnp.ndim(y) <= 1 else jnp.asarray(y)[None]
-    if Xb.ndim == 1:
-        Xb = Xb[:, None]
-    if Yb.ndim == 1:
-        Yb = Yb[:, None]
-    result = kernel._matrix(Xb, Yb, False, False)
-    value = float(result[0, 0]) if result is not None else float("nan")
+    """Full-fidelity call trace: each node is evaluated through its real
+    dispatch path (``matrix_or_none``), so Measurement semantics
+    (measurement_only terms nonzero for train pairs), LinearCombination
+    integration, and variant-tag blocks all show their true values —
+    matching the reference caller-chain walk (call_trace.hpp:20-219)."""
+    Xb = _batch_one(x)
+    Yb = _batch_one(y)
+    result = kernel.matrix_or_none(Xb, Yb)
+    value = float(jnp.ravel(result)[0]) if result is not None else float("nan")
     children = []
     for attr in ("lhs", "rhs", "sub"):
         child = getattr(kernel, attr, None)

@@ -54,10 +54,10 @@ class ModelBase(Module):
 
         return CrossValidation(self)
 
-    def ransac(self, strategy, config):
+    def ransac(self, strategy, config, **kwargs):
         from .ransac import Ransac
 
-        return Ransac(self, strategy, config)
+        return Ransac(self, strategy, config, **kwargs)
 
     @property
     def model_name(self) -> str:

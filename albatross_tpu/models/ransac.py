@@ -312,6 +312,182 @@ def gp_ransac_strategy(
 
 
 # ---------------------------------------------------------------------------
+# Batched GP-RANSAC: all candidate fits in one vmapped device dispatch
+# ---------------------------------------------------------------------------
+def _batched_scores(conditional, cand_indices, idx_mat, inlier_metric):
+    """(K, G) inlier-metric matrix: every candidate fit is a fixed-shape
+    conditioning of the one precomputed prior (ransac_gp.hpp:117-180), so
+    all K fits and all K·G group scores run as a single vmapped program —
+    batched Cholesky + batched conditionals on the MXU, replacing the
+    reference's serial per-iteration loop (ransac.hpp:172-258)."""
+    import jax
+    import jax.numpy as jnp
+
+    idx_mat = jnp.asarray(idx_mat)
+
+    def score_one(cinds):
+        fit = conditional.fit_from_indices(cinds)
+
+        def group_metric(ginds):
+            pred = conditional._predict_joint(ginds, fit)
+            return inlier_metric(pred, conditional.get_truth(ginds))
+
+        return jax.vmap(group_metric)(idx_mat)
+
+    return jax.jit(jax.vmap(score_one))(jnp.asarray(cand_indices))
+
+
+def _batched_validity(conditional, cand_indices, metric):
+    """Vectorized candidate-validity pass for the metrics that have a
+    traceable core; returns a boolean numpy array or None (→ host loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(metric, AlwaysAcceptCandidateMetric):
+        return np.ones(len(cand_indices), dtype=bool)
+    if isinstance(metric, ChiSquaredIsValidCandidateMetric):
+
+        def p_one(cinds):
+            pr = conditional.get_prior(cinds)
+            tr = conditional.get_truth(cinds)
+            cov = pr.covariance + jnp.diag(tr.get_variance())
+            return chi_squared_cdf(pr.mean - tr.mean, cov)
+
+        p = jax.jit(jax.vmap(p_one))(jnp.asarray(cand_indices))
+        return np.asarray(p) <= metric.threshold
+    return None
+
+
+def ransac_gp_batched(
+    strategy: "GaussianProcessRansacStrategy",
+    model,
+    dataset: RegressionDataset,
+    config: RansacConfig,
+    seed: int = 0,
+) -> Optional[RansacOutput]:
+    """Batched core loop for the GP strategy — identical RansacOutput to
+    ``ransac()`` (same rng draw sequence, audit trail, and return codes),
+    but all candidate fits/scores execute as ~one device dispatch.
+
+    Returns None when the configuration cannot be batched (ragged groups or
+    a non-traceable user metric) so the caller falls back to the serial
+    path.
+    """
+    import jax
+
+    indexer = strategy.get_indexer(dataset)
+    keys = list(indexer.keys())
+    sizes = {len(indexer[k]) for k in keys}
+    if len(sizes) != 1:
+        return None  # ragged groups: fixed-shape batching impossible
+    idx_mat = np.stack([np.asarray(indexer[k]) for k in keys])  # (G, u)
+
+    output = RansacOutput(return_code=RansacReturnCode.FAILURE)
+    if (
+        config.min_consensus_size >= len(keys)
+        or config.min_consensus_size < config.random_sample_size
+        or config.random_sample_size >= len(keys)
+        or config.random_sample_size <= 0
+        or config.max_iterations <= 0
+    ):
+        output.return_code = RansacReturnCode.INVALID_ARGUMENTS
+        return output
+
+    prior = model.prior(dataset.features)
+    conditional = ConditionalGaussian(prior, dataset.targets)
+
+    # reproduce the serial rng sequence: one draw per loop pass, up to
+    # max_iterations valid + max_failed_candidates invalid draws
+    rng = np.random.default_rng(seed)
+    n_draws = config.max_iterations + max(config.max_failed_candidates, 0)
+    draws = np.stack(
+        [
+            np.sort(rng.choice(len(keys), size=config.random_sample_size, replace=False))
+            for _ in range(n_draws)
+        ]
+    )  # (D, s) group positions
+    cand_indices = idx_mat[draws].reshape(len(draws), -1)  # (D, s·u)
+
+    validity = _batched_validity(
+        conditional, cand_indices, strategy.is_valid_candidate
+    )
+    if validity is None:
+        return None  # non-traceable user validity metric
+
+    # host replay of the serial control flow against precomputed validity
+    valid: List = []  # (draw row, its RansacIteration)
+    failed = 0
+    exceeded = False
+    for d in range(len(draws)):
+        if len(valid) >= config.max_iterations:
+            break
+        iteration = RansacIteration()
+        iteration.candidates = [keys[int(p)] for p in draws[d]]
+        output.iterations.append(iteration)
+        if not validity[d]:
+            failed += 1
+            if failed >= config.max_failed_candidates:
+                exceeded = True
+                break
+            continue
+        valid.append((d, iteration))
+    if exceeded:
+        output.return_code = RansacReturnCode.EXCEEDED_MAX_FAILED_CANDIDATES
+        return output
+
+    if valid:
+        try:
+            metrics = np.asarray(
+                _batched_scores(
+                    conditional,
+                    cand_indices[np.asarray([d for d, _ in valid])],
+                    idx_mat,
+                    strategy.inlier_metric,
+                )
+            )  # (K, G)
+        except (jax.errors.TracerArrayConversionError, TypeError):
+            return None  # non-traceable user inlier metric
+
+    fast_count = isinstance(
+        strategy.consensus_metric, FeatureCountConsensusMetric
+    )
+    for k, (d, iteration) in enumerate(valid):
+        cand_set = set(iteration.candidates)
+        for g, key in enumerate(keys):
+            if key in cand_set:
+                continue
+            value = float(metrics[k, g])
+            if value <= config.inlier_threshold:
+                iteration.inliers[key] = value
+            else:
+                iteration.outliers[key] = value
+        consensus = iteration.consensus()
+        if len(consensus) >= config.min_consensus_size:
+            if fast_count:
+                inds = indices_from_groups(indexer, consensus)
+                iteration.consensus_metric_value = -float(len(inds))
+            else:
+                inds = indices_from_groups(indexer, consensus)
+                iteration.consensus_metric_value = float(
+                    strategy.consensus_metric(
+                        conditional.get_prior(inds),
+                        conditional.get_truth(inds),
+                    )
+                )
+            if math.isnan(output.best.consensus_metric_value) or (
+                iteration.consensus_metric_value
+                < output.best.consensus_metric_value
+            ):
+                output.best = iteration
+
+    if output.best.consensus():
+        output.return_code = RansacReturnCode.SUCCESS
+    else:
+        output.return_code = RansacReturnCode.NO_CONSENSUS
+    return output
+
+
+# ---------------------------------------------------------------------------
 # Ransac meta-model (ransac.hpp:428-526)
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass
@@ -323,11 +499,21 @@ class RansacFit:
 
 
 class Ransac(ModelBase):
-    def __init__(self, sub_model, strategy, config: RansacConfig, seed: int = 0):
+    def __init__(
+        self,
+        sub_model,
+        strategy,
+        config: RansacConfig,
+        seed: int = 0,
+        use_batched: Optional[bool] = None,
+    ):
         self.sub_model = sub_model
         self.strategy = strategy
         self.config = config
         self.seed = seed
+        # None = auto: batch GP-strategy candidate fits through one vmapped
+        # dispatch when groups are uniform and metrics traceable
+        self.use_batched = use_batched
 
     @property
     def model_name(self):
@@ -341,11 +527,23 @@ class Ransac(ModelBase):
 
     def _fit_impl(self, features, targets) -> RansacFit:
         dataset = RegressionDataset.create(features, targets)
-        functions = self.strategy(self.sub_model, dataset)
         indexer = self.strategy.get_indexer(dataset)
-        output = ransac(
-            functions, indexer.keys(), self.config, seed=self.seed
-        )
+        output = None
+        batchable = isinstance(self.strategy, GaussianProcessRansacStrategy)
+        if self.use_batched is None and batchable or self.use_batched:
+            if not batchable:
+                raise ValueError(
+                    "use_batched requires a GaussianProcessRansacStrategy"
+                )
+            output = ransac_gp_batched(
+                self.strategy, self.sub_model, dataset, self.config,
+                seed=self.seed,
+            )
+        if output is None:
+            functions = self.strategy(self.sub_model, dataset)
+            output = ransac(
+                functions, indexer.keys(), self.config, seed=self.seed
+            )
         if not ransac_success(output.return_code):
             return RansacFit(output, None)
         good_inds = indices_from_groups(indexer, output.best.consensus())

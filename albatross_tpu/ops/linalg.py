@@ -236,31 +236,35 @@ class CholeskyFactor:
         return DirectInverse(X)
 
     # -- inverse pieces (engine of fast LOO/LOGO CV) ------------------------
+    def _tri_inverse(self) -> jnp.ndarray:
+        """L⁻¹ — GEMM-composed for large N (XLA's TriangularSolve against
+        an identity is latency-bound on TPU; see ops/nlml.py)."""
+        from .nlml import tri_inverse_full
+
+        return tri_inverse_full(self.L)
+
     def inverse(self) -> jnp.ndarray:
-        Linv = solve_triangular(
-            self.L, jnp.eye(self.L.shape[0], dtype=self.L.dtype), lower=True
-        )
-        return Linv.T @ Linv
+        """A⁻¹ = L⁻ᵀL⁻¹, potri-style: blocked triangular inverse + a
+        triangularity-exploiting symmetric product (n³/3 GEMM FLOPs)."""
+        from .nlml import blocked_lauum
+
+        return blocked_lauum(self._tri_inverse())
 
     def inverse_diagonal(self) -> jnp.ndarray:
         """diag(A⁻¹) = column-wise ‖L⁻¹ e_i‖²
         (serializable_ldlt.hpp inverse_diagonal)."""
-        Linv = solve_triangular(
-            self.L, jnp.eye(self.L.shape[0], dtype=self.L.dtype), lower=True
-        )
+        Linv = self._tri_inverse()
         return jnp.sum(Linv * Linv, axis=0)
 
     def inverse_blocks(self, indices: Sequence[jnp.ndarray]):
         """Diagonal blocks (A⁻¹)_gg for each index group
         (serializable_ldlt.hpp:137-175).
 
-        One triangular solve against the identity (a big batched MXU-friendly
+        One GEMM-composed triangular inverse (a big batched MXU-friendly
         operation replacing the reference's per-column thread pool), then a
         gather + small gram per group.
         """
-        Linv = solve_triangular(
-            self.L, jnp.eye(self.L.shape[0], dtype=self.L.dtype), lower=True
-        )
+        Linv = self._tri_inverse()
         blocks = []
         for idx in indices:
             cols = Linv[:, jnp.asarray(idx)]

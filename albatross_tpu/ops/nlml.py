@@ -1,0 +1,111 @@
+"""GEMM-composed explicit inverses from a Cholesky factor (LAPACK potri).
+
+XLA's TriangularSolve against an identity substitutes 128 columns at a time
+and is latency-bound on TPU; these routines rebuild the same quantities from
+large MXU GEMMs instead:
+
+    W    = L⁻¹   two-level blocked triangular inverse (tri_inverse_full)
+    K⁻¹  = WᵀW   exploiting W's triangularity — n³/3 FLOPs in S large GEMMs
+                 instead of a dense n³ square (blocked_lauum)
+
+They power ``CholeskyFactor.inverse / inverse_diagonal / inverse_blocks``
+(the serving DirectInverse construction and the fast LOO/LOGO CV engine,
+reference: serializable_ldlt.hpp:137-217) for large N.
+
+Negative result, recorded so it is not retried: a custom VJP for the NLML
+(backward = c_ld·K⁻¹ − c_q·ααᵀ built with these routines) was measured
+SLOWER than XLA autodiff through the blocked factorization on v5e at
+N=20480 — 2.81× vs 2.69× forward wall time — because its backward costs
+~n³ GEMM FLOPs (trtri 2n³/3 + lauum n³/3) while the autodiff adjoint costs
+~2n³/3; it was also slightly less accurate in f32 (explicit-inverse
+cancellation).  The fused autodiff path in models/gp.py stays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from .blocked_cholesky import blocked_tri_inverse
+
+_BLOCK_CANDIDATES = (2560, 2048, 1536, 1280, 1024, 512, 256, 128)
+
+
+def _pick_block(n: int) -> int | None:
+    for b in _BLOCK_CANDIDATES:
+        if n % b == 0 and n > b:
+            return b
+    return None
+
+
+def tri_inverse_full(L: jnp.ndarray) -> jnp.ndarray:
+    """W = L⁻¹ for a full-size lower-triangular factor, GEMM-rich.
+
+    Two-level: coarse row blocks whose diagonal sub-inverses are themselves
+    GEMM-composed (vmapped blocked_tri_inverse) — the same trick the forward
+    factorization uses for its panels (ops/blocked_cholesky.py).
+    """
+    n = L.shape[0]
+    b = _pick_block(n)
+    if n <= 2048 or b is None:
+        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    S = n // b
+    diag = jnp.stack(
+        [jax.lax.slice(L, (i * b, i * b), ((i + 1) * b, (i + 1) * b)) for i in range(S)]
+    )
+    inner = 512 if b % 512 == 0 and b > 512 else None
+    if inner is not None:
+        winv = jax.vmap(lambda Li: blocked_tri_inverse(Li, inner))(diag)
+    else:
+        eye = jnp.eye(b, dtype=L.dtype)
+        winv = jax.vmap(lambda Li: solve_triangular(Li, eye, lower=True))(diag)
+    Wtop = jnp.concatenate([winv[0], jnp.zeros((b, n - b), L.dtype)], axis=1)
+    for r in range(1, S):
+        r0 = r * b
+        Lr = jax.lax.slice(L, (r0, 0), (r0 + b, r0))
+        left = -winv[r] @ (Lr @ Wtop[:, :r0])
+        row = jnp.concatenate(
+            [left, winv[r], jnp.zeros((b, n - r0 - b), L.dtype)], axis=1
+        )
+        Wtop = jnp.concatenate([Wtop, row], axis=0)
+    return Wtop
+
+
+def blocked_lauum(W: jnp.ndarray, block: int | None = None) -> jnp.ndarray:
+    """WᵀW for lower-triangular W, exploiting triangularity (LAPACK lauum).
+
+    Row strip i of the lower triangle of M = WᵀW is one GEMM
+        M[i, :i+1] = W[i:, i]ᵀ @ W[i:, :i+1]
+    (rows above block i of the i-th block column are zero), so the whole
+    product is S large MXU GEMMs totalling n³/3 FLOPs instead of a dense n³.
+    """
+    n = W.shape[0]
+    b = block if block is not None else _pick_block(n)
+    if b is None or n <= 2048:
+        return W.T @ W
+    S = n // b
+    strips = []
+    for i in range(S):
+        i0 = i * b
+        Wi = jax.lax.slice(W, (i0, i0), (n, i0 + b))  # (n-i0, b) block col i
+        Wrows = jax.lax.slice(W, (i0, 0), (n, i0 + b))  # (n-i0, :i+1 cols)
+        strip = Wi.T @ Wrows  # (b, (i+1)·b): blocks j ≤ i of row i
+        strips.append(
+            jnp.concatenate([strip, jnp.zeros((b, n - i0 - b), W.dtype)], axis=1)
+        )
+    Mlow = jnp.concatenate(strips, axis=0)  # block-lower incl. full diag blocks
+    rows = jnp.arange(n)[:, None] // b
+    cols = jnp.arange(n)[None, :] // b
+    strict_lower = rows > cols
+    return (
+        jnp.where(strict_lower, Mlow, 0.0)
+        + jnp.where(strict_lower, Mlow, 0.0).T
+        + jnp.where(rows == cols, Mlow, 0.0)
+    )
+
+
+def spd_inverse_from_factor(L: jnp.ndarray) -> jnp.ndarray:
+    """K⁻¹ = WᵀW from the Cholesky factor (potri: trtri + lauum)."""
+    W = tri_inverse_full(L)
+    return blocked_lauum(W)

@@ -39,6 +39,7 @@ class CsvWritingCallback:
     (callbacks.hpp:80-100)."""
 
     def __init__(self, stream: IO, param_names: Sequence[str]):
+        self.stream = stream
         self.writer = csv.writer(stream)
         self.param_names = list(param_names)
         self.writer.writerow(
@@ -53,3 +54,8 @@ class CsvWritingCallback:
                 [iteration, w, float(log_prob[w])]
                 + [float(v) for v in params[w]]
             )
+        # persist mid-run: the sampler fires callbacks per chunk, so a
+        # crashed long chain keeps everything up to the last flushed chunk
+        # (reference durability, callbacks.hpp:80-100)
+        if hasattr(self.stream, "flush"):
+            self.stream.flush()

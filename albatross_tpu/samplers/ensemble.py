@@ -159,12 +159,21 @@ def ensemble_sampler(
     key,
     a: float = 2.0,
     callback: Optional[Callable] = None,
+    callback_interval: int = 64,
 ) -> EnsembleChain:
     """Run the sampler (ensemble.hpp:126-150).
 
     ``log_prob_fn`` must map an (n_walkers, n_dim) batch to (n_walkers,)
-    log-probabilities (wrap a scalar function with jax.vmap).  The chain
-    runs as one lax.scan; callbacks are applied per-iteration afterwards.
+    log-probabilities (wrap a scalar function with jax.vmap).
+
+    Without a callback the whole chain is one ``lax.scan``.  With a
+    callback, the scan is *chunked* every ``callback_interval`` iterations
+    and callbacks fire as each chunk lands on the host — so a
+    CsvWritingCallback persists progress mid-run and a crashed long chain
+    keeps everything up to the last chunk (the durability of the
+    reference's per-iteration callback, callbacks.hpp:80-100, at batched
+    device-execution speed).  Chunking does not change the chain: the PRNG
+    key sequence is identical.
     """
     initial_params = jnp.asarray(initial_params)
     key, k_init = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
@@ -175,23 +184,44 @@ def ensemble_sampler(
         state = stretch_move_step(key_i, carry, log_prob_fn, a)
         return state, state
 
+    run_chunk = jax.jit(
+        lambda s0, ks: jax.lax.scan(scan_body, s0, ks)
+    )
     keys = jax.random.split(key, max_iterations)
-    _, states = jax.lax.scan(scan_body, state0, keys)
+    chunk = max_iterations if callback is None else max(1, callback_interval)
+
+    if callback is not None:
+        callback(0, state0)
+
+    parts = []
+    state = state0
+    pos = 0
+    while pos < max_iterations:
+        n = min(chunk, max_iterations - pos)
+        state, states = run_chunk(state, keys[pos : pos + n])
+        part = jax.device_get(states)
+        parts.append(part)
+        if callback is not None:
+            for i in range(n):
+                callback(
+                    pos + 1 + i,
+                    SamplerState(
+                        part.params[i], part.log_prob[i], part.accepted[i]
+                    ),
+                )
+        pos += n
 
     chain = EnsembleChain(
         params=np.concatenate(
-            [np.asarray(state0.params)[None], np.asarray(states.params)]
+            [np.asarray(state0.params)[None]] + [p.params for p in parts]
         ),
         log_prob=np.concatenate(
-            [np.asarray(state0.log_prob)[None], np.asarray(states.log_prob)]
+            [np.asarray(state0.log_prob)[None]] + [p.log_prob for p in parts]
         ),
         accepted=np.concatenate(
-            [np.asarray(state0.accepted)[None], np.asarray(states.accepted)]
+            [np.asarray(state0.accepted)[None]] + [p.accepted for p in parts]
         ),
     )
-    if callback is not None:
-        for i in range(len(chain)):
-            callback(i, chain.state(i))
     return chain
 
 
@@ -214,6 +244,7 @@ def ensemble_sampler_from_model(
     key,
     jitter_sd: float = 0.1,
     callback: Optional[Callable] = None,
+    callback_interval: int = 64,
     mesh=None,
     mesh_axis: str = "chain",
 ) -> EnsembleChain:
@@ -257,5 +288,6 @@ def ensemble_sampler_from_model(
     else:
         log_prob_fn = jax.jit(batched)
     return ensemble_sampler(
-        log_prob_fn, initial, max_iterations, k_run, callback=callback
+        log_prob_fn, initial, max_iterations, k_run,
+        callback=callback, callback_interval=callback_interval,
     )

@@ -40,6 +40,12 @@ def main() -> int:
     print("\n=== call trace at (x=1.0, y=2.5) ===")
     print(kernel.call_trace(1.0, 2.5).pretty())
 
+    print("\n=== call trace for a TRAINING pair (Measurement-tagged) ===")
+    # the measurement_only noise term is live between Measurement features
+    # (call_trace.hpp walks the same caller chain the gram build uses)
+    m = ab.kernels.as_measurement
+    print(kernel.call_trace(m(1.0), m(1.0)).pretty())
+
     print("\n=== parameters ===")
     print(model.pretty_param_details())
 

@@ -327,3 +327,72 @@ def test_metrics_accept_lazy_predictions(rng):
     chi2 = float(ChiSquaredCdf()(pred, holdout.targets))
     assert rmse > 0 and np.isfinite(nll_m) and np.isfinite(nll_j)
     assert 0.0 <= chi2 <= 1.0
+
+
+def test_batched_grouped_cv_fast_paths(rng):
+    """Round-2 CV de-pythoning: the fast LOO/LOGO paths return array-backed
+    BatchedGrouped (lazy per-group objects), scores run as one vmapped
+    dispatch, and everything matches the per-fold loop exactly."""
+    from albatross_tpu import (
+        IndependentNoise,
+        RegressionDataset,
+        SquaredExponential,
+        gp_from_covariance,
+        measurement_only,
+    )
+    from albatross_tpu.evaluation.cross_validation_utils import (
+        BatchedGrouped,
+        cross_validated_scores,
+    )
+    from albatross_tpu.evaluation.folds import folds_from_group_indexer
+    from albatross_tpu.evaluation.metrics import (
+        NegativeLogLikelihood,
+        RootMeanSquareError,
+    )
+    from albatross_tpu.indexing import KFoldGrouper, LeaveOneOutGrouper, group_by
+
+    n = 40
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.sin(x) + 0.1 * rng.standard_normal(n)
+    data = RegressionDataset.create(
+        jnp.asarray(x), jnp.asarray(y), variance=jnp.full((n,), 0.01)
+    )
+    model = gp_from_covariance(
+        SquaredExponential(1.5, 1.0) + measurement_only(IndependentNoise(0.2))
+    )
+    cv = model.cross_validate()
+
+    for grouper in (LeaveOneOutGrouper(), KFoldGrouper(5)):
+        indexers = group_by(data, grouper).indexers()
+        marginals = cv.predict(data, grouper).marginals()
+        assert isinstance(marginals, BatchedGrouped)
+        # lazy mapping access materializes correct per-group objects
+        key0 = marginals.keys()[0]
+        m0 = marginals[key0]
+        np.testing.assert_allclose(
+            np.asarray(m0.mean), np.asarray(marginals.means[0])
+        )
+
+        # batched scores == per-fold loop scores
+        for metric in (RootMeanSquareError(), NegativeLogLikelihood()):
+            fast = cv.scores(metric, data, grouper)
+            folds = folds_from_group_indexer(data, indexers)
+            preds = cv.predict(data, grouper).get(
+                getattr(metric, "required_predict_type", None)
+            )
+            slow = cross_validated_scores(metric, folds, preds)
+            np.testing.assert_allclose(
+                np.asarray(fast), np.asarray(slow), rtol=1e-10
+            )
+
+    # scattered-back marginal view stays exact
+    marg = cv.predict(data, LeaveOneOutGrouper()).marginal()
+    loo_means = cv.predict(data, LeaveOneOutGrouper()).means()
+    order = np.concatenate(
+        [np.asarray(i) for i in group_by(data, LeaveOneOutGrouper()).indexers().values()]
+    )
+    np.testing.assert_allclose(
+        np.asarray(marg.mean)[order],
+        np.asarray(loo_means.means.reshape(-1)),
+        rtol=1e-12,
+    )

@@ -258,3 +258,111 @@ def test_block_utils(rng):
     solved = block_diag_solve(solvers, rhs)
     np.testing.assert_allclose(np.asarray(solved[0]), 0.5 * np.ones((2, 1)))
     np.testing.assert_allclose(np.asarray(solved[1]), 0.25 * np.ones((2, 1)))
+
+
+def test_ransac_batched_matches_serial(rng):
+    """The vmapped GP-RANSAC path produces the IDENTICAL RansacOutput as the
+    serial loop (same rng sequence, audit trail, best iteration, return
+    code), with all candidate fits+scores in one batched device dispatch."""
+    import importlib
+
+    ransac_mod = importlib.import_module("albatross_tpu.models.ransac")
+    from albatross_tpu.evaluation.metrics import NegativeLogLikelihood
+    from albatross_tpu.core.distributions import JointDistribution
+    from albatross_tpu.indexing import LeaveOneOutGrouper
+    from albatross_tpu.models.ransac import (
+        ChiSquaredConsensusMetric,
+        ChiSquaredIsValidCandidateMetric,
+        gp_ransac_strategy,
+    )
+
+    data, _ = make_outlier_dataset(rng)
+    model = toy_gp_model()
+    strategies = [
+        DefaultGPRansacStrategy(),
+        gp_ransac_strategy(
+            NegativeLogLikelihood(JointDistribution),
+            ChiSquaredConsensusMetric(),
+            LeaveOneOutGrouper(),
+            is_valid_candidate=ChiSquaredIsValidCandidateMetric(),
+        ),
+    ]
+    config = RansacConfig(1.0, 3, 10, 12, 12)
+    for strategy in strategies:
+        serial = (
+            model.ransac(strategy, config, use_batched=False)
+            .fit(data)
+            .fit.ransac_output
+        )
+
+        calls = {"n": 0}
+        orig = ransac_mod._batched_scores
+
+        def counted(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        ransac_mod._batched_scores = counted
+        try:
+            batched = (
+                model.ransac(strategy, config, use_batched=True)
+                .fit(data)
+                .fit.ransac_output
+            )
+        finally:
+            ransac_mod._batched_scores = orig
+
+        # all K candidate iterations cost one batched dispatch
+        assert calls["n"] == 1
+        assert batched.return_code == serial.return_code
+        assert len(batched.iterations) == len(serial.iterations)
+        for bi, si in zip(batched.iterations, serial.iterations):
+            assert bi.candidates == si.candidates
+            assert set(bi.inliers) == set(si.inliers)
+            assert set(bi.outliers) == set(si.outliers)
+            for key in si.inliers:
+                assert bi.inliers[key] == pytest.approx(
+                    si.inliers[key], rel=1e-8
+                )
+            if np.isnan(si.consensus_metric_value):
+                assert np.isnan(bi.consensus_metric_value)
+            else:
+                assert bi.consensus_metric_value == pytest.approx(
+                    si.consensus_metric_value, rel=1e-8
+                )
+        assert batched.best.candidates == serial.best.candidates
+        assert set(batched.best.inliers) == set(serial.best.inliers)
+
+
+def test_ransac_batched_failed_candidates(rng):
+    """EXCEEDED_MAX_FAILED_CANDIDATES replays identically (the serial loop
+    stops mid-sequence without consuming an iteration slot)."""
+    from albatross_tpu.indexing import LeaveOneOutGrouper
+    from albatross_tpu.models.ransac import (
+        ChiSquaredIsValidCandidateMetric,
+        gp_ransac_strategy,
+    )
+
+    data, _ = make_outlier_dataset(rng)
+    model = toy_gp_model()
+    # impossible validity threshold: every candidate is rejected
+    strategy = gp_ransac_strategy(
+        None, None, LeaveOneOutGrouper(),
+        is_valid_candidate=ChiSquaredIsValidCandidateMetric(threshold=-1.0),
+    )
+    config = RansacConfig(1.0, 3, 10, 6, 4)
+    serial = (
+        model.ransac(strategy, config, use_batched=False)
+        .fit(data)
+        .fit.ransac_output
+    )
+    batched = (
+        model.ransac(strategy, config, use_batched=True)
+        .fit(data)
+        .fit.ransac_output
+    )
+    assert serial.return_code == RansacReturnCode.EXCEEDED_MAX_FAILED_CANDIDATES
+    assert batched.return_code == serial.return_code
+    assert len(batched.iterations) == len(serial.iterations)
+    for bi, si in zip(batched.iterations, serial.iterations):
+        assert bi.candidates == si.candidates
