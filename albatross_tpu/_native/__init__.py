@@ -40,11 +40,16 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-        _SRC
+    # ALBATROSS_NATIVE_LIB points at an alternate build (the CI sanitizer
+    # lane loads an ASan/UBSan-instrumented .so through the same bindings)
+    override = os.environ.get("ALBATROSS_NATIVE_LIB")
+    lib_path = override or _LIB
+    if not override and (
+        not os.path.exists(_LIB)
+        or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
     ):
         _build()
-    lib = ctypes.CDLL(_LIB)
+    lib = ctypes.CDLL(lib_path)
     lib.csv_open.restype = ctypes.c_void_p
     lib.csv_open.argtypes = [ctypes.c_char_p]
     lib.csv_num_cols.restype = ctypes.c_int64

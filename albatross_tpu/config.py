@@ -13,6 +13,14 @@ USE_PALLAS_GRAM: bool | None = None
 PALLAS_GRAM_MIN_ELEMENTS: int = 512 * 512
 
 
+# Factorization accuracy mode: None = fast (single-bf16-pass trailing
+# updates, panel GEMMs escalate to 3-pass automatically at N>=32768 where
+# single-pass NaNs); "high" = 3-pass bf16 on ALL factorization GEMMs
+# (~f32-faithful, ~2-3x slower, measured NLML-vs-f64 error ladder in
+# CLAUDE.md).  Read by CholeskyFactor._factor_core.
+CHOLESKY_PRECISION: str | None = None
+
+
 def pallas_gram_enabled(n_elements: int, dtype) -> bool:
     if USE_PALLAS_GRAM is not True:
         return False

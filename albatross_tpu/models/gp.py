@@ -140,25 +140,50 @@ class GaussianProcess(ModelBase):
         measurements = as_measurement(features)
         return self.covariance_function(measurements)
 
+    def _training_covariance(self, measurements, target_variance):
+        """Training covariance incl. the diagonal epilogue, using the fused
+        single-pass pallas path when the kernel/config qualify (the gram,
+        noise σ², target variance and jitter land in one HBM write —
+        ops/pallas_gram.py fused_training_covariance)."""
+        from ..kernels.features import Measurement
+        from ..ops.pallas_gram import fused_training_covariance
+
+        if isinstance(measurements, Measurement):
+            fused = fused_training_covariance(
+                self.covariance_function,
+                measurements.value,
+                target_variance,
+                self.jitter,
+            )
+            if fused is not None:
+                return fused, True  # jitter already folded in
+        cov = self.covariance_function(measurements)
+        if target_variance is not None:
+            cov = cov + jnp.diag(target_variance)
+        return cov, False
+
     def _fit_impl(self, features, targets: MarginalDistribution) -> GPFit:
         measurements = as_measurement(features)
         with jax.named_scope("gp_gram"):
-            cov = self.covariance_function(measurements)
-            if targets.variance is not None:
-                cov = cov + jnp.diag(targets.variance)
+            cov, fused = self._training_covariance(
+                measurements, targets.variance
+            )
         zero_mean = self.mean_function.remove_from(measurements, targets.mean)
         with jax.named_scope("gp_cholesky"):
-            chol = self._factorize(cov)
+            chol = self._factorize(cov, jitter_applied=fused)
         with jax.named_scope("gp_information"):
             information = chol.solve(zero_mean)
         return GPFit(features, chol, information)
 
-    def _factorize(self, cov) -> CholeskyFactor:
+    def _factorize(self, cov, jitter_applied: bool = False) -> CholeskyFactor:
+        jitter = 0.0 if jitter_applied else self.jitter
         if self.safe_factorization:
-            return CholeskyFactor.factorize_safe(
-                cov, initial_jitter=self.jitter
-            )
-        return CholeskyFactor.factorize(cov, jitter=self.jitter)
+            return CholeskyFactor.factorize_safe(cov, initial_jitter=jitter)
+        # covariances from the DSL are symmetric by construction (__call__
+        # symmetrizes unless symmetric-exact): skip the redundant N² pass
+        return CholeskyFactor.factorize(
+            cov, jitter=jitter, assume_symmetric=True
+        )
 
     # -- predictions (gp.hpp:305-366) ---------------------------------------
     def _cross(self, fit: GPFit, features):
@@ -238,9 +263,10 @@ class GaussianProcess(ModelBase):
         zero_mean = self.mean_function.remove_from(
             measurements, dataset.targets.mean
         )
-        cov = self.covariance_function(measurements)
+        cov, fused = self._training_covariance(measurements, None)
+        jitter = 0.0 if fused else self.jitter
         if self.safe_factorization:
-            chol = self._factorize(cov)
+            chol = self._factorize(cov, jitter_applied=fused)
             ll = -negative_log_likelihood(zero_mean, chol)
         else:
             # fused factorize+whiten: forward substitution reuses the
@@ -250,7 +276,7 @@ class GaussianProcess(ModelBase):
             # (2.81x vs 2.69x forward at N=20480: its backward is n³ GEMM
             # flops vs autodiff's 2n³/3) and less accurate; see ops/nlml.py.
             chol, white = CholeskyFactor.factorize_whiten(
-                cov, zero_mean, jitter=self.jitter
+                cov, zero_mean, jitter=jitter, assume_symmetric=True
             )
             ll = -_nll_from_whitened(chol.log_determinant(), white)
         return ll + self.prior_log_likelihood()

@@ -38,7 +38,7 @@ def auto_block_size(n: int, max_panels: int = 8) -> int:
 
 
 def blocked_tri_inverse(
-    L: jnp.ndarray, sub: int = DEFAULT_PANEL_SUB
+    L: jnp.ndarray, sub: int = DEFAULT_PANEL_SUB, precision=None
 ) -> jnp.ndarray:
     """Inverse of a lower-triangular matrix, GEMM-rich.
 
@@ -67,7 +67,11 @@ def blocked_tri_inverse(
     for r in range(1, S):
         r0 = r * sub
         Lr = jax.lax.slice(L, (r0, 0), (r0 + sub, r0))  # (sub, r0)
-        left = -winv[r] @ (Lr @ Wtop[:, :r0])  # (sub, r0)
+        left = -jnp.matmul(
+            winv[r],
+            jnp.matmul(Lr, Wtop[:, :r0], precision=precision),
+            precision=precision,
+        )  # (sub, r0)
         row = jnp.concatenate(
             [left, winv[r], jnp.zeros((sub, m - r0 - sub), L.dtype)], axis=1
         )
@@ -76,7 +80,7 @@ def blocked_tri_inverse(
 
 
 def _panel_chol_inverse(
-    Akk: jnp.ndarray, sub: int
+    Akk: jnp.ndarray, sub: int, precision=None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(L, L⁻¹) of a diagonal panel.
 
@@ -86,7 +90,7 @@ def _panel_chol_inverse(
     (blocked_tri_inverse), which is GEMM-rich.
     """
     L = jnp.linalg.cholesky(Akk)
-    return L, blocked_tri_inverse(L, sub)
+    return L, blocked_tri_inverse(L, sub, precision=precision)
 
 
 @functools.partial(
@@ -164,12 +168,32 @@ def blocked_cholesky(
     return L if rhs is None else (L, z)
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "panel_sub"))
+_PRECISIONS = {
+    None: None,
+    "default": None,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_size",
+        "panel_sub",
+        "diag_precision",
+        "panel_precision",
+        "trailing_precision",
+    ),
+)
 def blocked_cholesky_cols(
     K: jnp.ndarray,
     block_size: int | None = None,
     rhs: jnp.ndarray | None = None,
     panel_sub: int | str | None = "auto",
+    diag_precision: str | None = "auto",
+    panel_precision: str | None = "auto",
+    trailing_precision: str | None = None,
 ) -> jnp.ndarray:
     """Column-panel-layout variant of ``blocked_cholesky``.
 
@@ -180,6 +204,16 @@ def blocked_cholesky_cols(
     rows, so FLOPs are exactly n³/3 + panel terms.  Measured on v5e at
     N=20480: 49 TF/s vs 41 for the rows layout.
 
+    ``diag_precision`` guards the N≥32768 regime: TPU f32 matmuls run as a
+    single bf16 MXU pass, and the accumulated rounding in the trailing
+    updates can push a later *diagonal block* non-PSD (NaN Cholesky —
+    measured ceiling N=32768 in f32 with a 0.09 nugget).  Computing just
+    the diagonal-block rows of every trailing update (and the panel's own
+    diagonal refinement) at higher precision costs b³ of 3/6-pass work per
+    (k, j) pair against the (n−j)·b² single-pass bulk — <2% extra FLOPs —
+    and keeps the factorization finite.  "auto" = HIGHEST for n ≥ 24576,
+    single-pass below (the measured-safe region, where it is free).
+
     With ``rhs``, also returns ``z = L⁻¹ rhs`` (fused forward substitution,
     see ``blocked_cholesky``).
     """
@@ -187,6 +221,23 @@ def blocked_cholesky_cols(
     b = block_size if block_size is not None else auto_block_size(n)
     if n <= b or n % b != 0:
         return blocked_cholesky(K, b, rhs=rhs, panel_sub=panel_sub)
+
+    if diag_precision == "auto":
+        # diag-block refinement is NOT cheap (G²/2 pairs × b³ multi-pass ≈
+        # n²b ≈ the panel work) and panel precision alone was measured
+        # sufficient at N=32768 — keep it off by default, available as a
+        # manual escalation knob for larger N
+        diag_precision = None
+    if panel_precision == "auto":
+        # at N≥32768 the single-bf16-pass input rounding in the panel
+        # entries of L themselves (below = col @ Wᵀ) is what pushes later
+        # diagonal blocks non-PSD — measured on v5e: single-pass NaNs,
+        # panel=high alone gives finite NLML at 45.8 TF/s (diag=highest on
+        # top costs 11 TF/s more and changes NLML by <2e-6 relative)
+        panel_precision = "high" if n >= 32768 else None
+    diag_prec = _PRECISIONS[diag_precision]
+    panel_prec = _PRECISIONS[panel_precision]
+    trail_prec = _PRECISIONS[trailing_precision]
 
     G = n // b
     z = rhs
@@ -201,11 +252,13 @@ def blocked_cholesky_cols(
         if sub is not None:
             # two-level blocking: GEMM composition of the panel inverse
             # (52.2 vs 58.5 ms at N=20480/b=2560 on v5e with sub=512)
-            Lkk, W = _panel_chol_inverse(Akk, sub)
+            Lkk, W = _panel_chol_inverse(Akk, sub, precision=panel_prec)
         else:
             Lkk = jnp.linalg.cholesky(Akk)
             W = solve_triangular(Lkk, jnp.eye(b, dtype=K.dtype), lower=True)
-        below = col[k0 + b :] @ W.T  # (n - k0 - b, b)
+        below = jnp.matmul(
+            col[k0 + b :], W.T, precision=panel_prec
+        )  # (n - k0 - b, b)
         cols[k] = jnp.concatenate(
             [jnp.zeros((k0, b), dtype=K.dtype), Lkk, below], axis=0
         )
@@ -217,7 +270,18 @@ def blocked_cholesky_cols(
             j0 = j * b
             Lj = below[j0 - k0 - b : j0 - k0]  # (b, b): panel rows of block j
             Lrows = below[j0 - k0 - b :]  # rows j0.. of column k
-            updated = cols[j][j0:] - Lrows @ Lj.T
+            if diag_prec is not None and trail_prec is None:
+                # rows of block j's future diagonal block: multi-pass GEMM
+                # so the Cholesky input stays PSD; bulk stays single-pass
+                upd_diag = cols[j][j0 : j0 + b] - jnp.matmul(
+                    Lj, Lj.T, precision=diag_prec
+                )
+                upd_rest = cols[j][j0 + b :] - Lrows[b:] @ Lj.T
+                updated = jnp.concatenate([upd_diag, upd_rest], axis=0)
+            else:
+                updated = cols[j][j0:] - jnp.matmul(
+                    Lrows, Lj.T, precision=trail_prec
+                )
             cols[j] = jnp.concatenate([cols[j][:j0], updated], axis=0)
     L = jnp.tril(jnp.concatenate(cols, axis=1))
     return L if rhs is None else (L, z)

@@ -41,20 +41,36 @@ class CholeskyFactor:
         return cls(children[0])
 
     @staticmethod
-    def _factor_core(K, jitter, rhs):
+    def _factor_core(K, jitter, rhs, assume_symmetric=False):
         """Shared factorization core for factorize/factorize_whiten: one
         place owns the symmetrize/jitter policy, the blocked-vs-builtin
         size threshold, and the layout choice, so the fused-NLML path can
-        never factorize a different matrix than the fit path."""
-        K = _sym(jnp.asarray(K))
+        never factorize a different matrix than the fit path.
+
+        ``assume_symmetric`` skips the 0.5(K+Kᵀ) pass — an N² HBM round
+        trip — for inputs already bitwise symmetric (covariances from
+        CovarianceFunction.__call__, which symmetrizes unless the kernel is
+        symmetric-exact by construction)."""
+        K = jnp.asarray(K)
+        if not assume_symmetric:
+            K = _sym(K)
         if jitter:
             K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
         if K.shape[0] > 2048:
             # GEMM-rich blocked factorization, column-panel layout (falls
             # back to the rows layout for non-divisible N): ~4x XLA's
             # builtin on TPU (see ops/blocked_cholesky.py)
+            from .. import config
             from .blocked_cholesky import blocked_cholesky_cols
 
+            if config.CHOLESKY_PRECISION is not None:
+                # accuracy mode: multi-pass on every factorization GEMM
+                return blocked_cholesky_cols(
+                    K,
+                    rhs=rhs,
+                    panel_precision=config.CHOLESKY_PRECISION,
+                    trailing_precision=config.CHOLESKY_PRECISION,
+                )
             return blocked_cholesky_cols(K, rhs=rhs)
         L = jnp.linalg.cholesky(K)
         if rhs is None:
@@ -62,12 +78,18 @@ class CholeskyFactor:
         return L, solve_triangular(L, rhs[:, None], lower=True)[:, 0]
 
     @classmethod
-    def factorize(cls, K: jnp.ndarray, jitter: float = 0.0) -> "CholeskyFactor":
-        return cls(cls._factor_core(K, jitter, None))
+    def factorize(
+        cls, K: jnp.ndarray, jitter: float = 0.0, assume_symmetric: bool = False
+    ) -> "CholeskyFactor":
+        return cls(cls._factor_core(K, jitter, None, assume_symmetric))
 
     @classmethod
     def factorize_whiten(
-        cls, K: jnp.ndarray, rhs: jnp.ndarray, jitter: float = 0.0
+        cls,
+        K: jnp.ndarray,
+        rhs: jnp.ndarray,
+        jitter: float = 0.0,
+        assume_symmetric: bool = False,
     ) -> tuple["CholeskyFactor", jnp.ndarray]:
         """Factorize K and return (factor, L⁻¹ rhs) in one pass.
 
@@ -85,7 +107,7 @@ class CholeskyFactor:
             )
         K = jnp.asarray(K)
         L, white = cls._factor_core(
-            K, jitter, rhs.astype(K.dtype)
+            K, jitter, rhs.astype(K.dtype), assume_symmetric
         )
         return cls(L), white
 

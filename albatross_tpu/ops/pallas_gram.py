@@ -62,6 +62,29 @@ def _gram_kernel(params_ref, x_ref, y_ref, out_ref, *, profile: str, d: int):
     )
 
 
+def _gram_diag_kernel(
+    params_ref, x_ref, y_ref, diag_ref, out_ref, *, profile: str, d: int
+):
+    """Gram tile + fused diagonal add (the training-covariance epilogue —
+    noise σ² + target variance + jitter — folded into the same VMEM tile, so
+    the complete factorization input is written in ONE pass over HBM)."""
+    _gram_kernel(params_ref, x_ref, y_ref, out_ref, profile=profile, d=d)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(i == j)
+    def _add_diag():
+        t = out_ref.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        on_diag = rows == cols
+        # diag arrives as an (tile, 1) 2-D block (1-D operands trip Mosaic
+        # layout checks against XLA's T(1024) vector tiling)
+        out_ref[:] = out_ref[:] + jnp.where(
+            on_diag, diag_ref[:].astype(out_ref.dtype), 0.0
+        )
+
+
 def _pad_rows(arr, multiple):
     n = arr.shape[0]
     padded = (n + multiple - 1) // multiple * multiple
@@ -82,10 +105,13 @@ def pallas_radial_gram(
     profile: str = "squared_exponential",
     tile: int = TILE,
     interpret: bool | None = None,
+    diag_add=None,
 ):
     """(N, M) radial Gram matrix with fused distance+profile tiles.
 
     X, Y: (N, D) / (M, D) float arrays (1-D inputs are reshaped).
+    ``diag_add`` (N,) — for the symmetric case — is added along the global
+    diagonal inside the kernel (noise/jitter/target-variance epilogue).
     """
     if interpret is None:
         # auto: interpreter mode keeps the kernel usable on CPU (tests, dev)
@@ -106,18 +132,36 @@ def pallas_radial_gram(
     )
 
     grid = (Xp.shape[0] // tile, Yp.shape[0] // tile)
+    if diag_add is None:
+        out = pl.pallas_call(
+            functools.partial(_gram_kernel, profile=profile, d=d),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((Xp.shape[0], Yp.shape[0]), dtype),
+            interpret=interpret,
+        )(params, Xp, Yp)
+        return out[:n, :m]
+
+    diag_p, _ = _pad_rows(jnp.asarray(diag_add, dtype=dtype), tile)
+    diag_p = diag_p[:, None]  # (N, 1): see _gram_diag_kernel layout note
     out = pl.pallas_call(
-        functools.partial(_gram_kernel, profile=profile, d=d),
+        functools.partial(_gram_diag_kernel, profile=profile, d=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, d), lambda i, j: (i, 0)),
             pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0)),
         ],
         out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Xp.shape[0], Yp.shape[0]), dtype),
         interpret=interpret,
-    )(params, Xp, Yp)
+    )(params, Xp, Yp, diag_p)
     return out[:n, :m]
 
 
@@ -166,3 +210,117 @@ def _fused_bwd(profile, tile, residuals, cotangent):
 
 
 fused_radial_gram.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-training-covariance fusion: gram + noise/jitter/target-variance
+# diagonal in ONE pallas pass (the epilogue XLA fuses on its path — folding
+# it into the kernel was the round-1 backlog's named fix for why the pallas
+# gram lost inside the full NLML pipeline).
+# ---------------------------------------------------------------------------
+def match_fused_training_cov(kernel, X, for_measurements: bool):
+    """Pattern-match ``radial + diag-only terms`` and return
+    (radial_leaf, ls, sigma, diag_scalar) or None.
+
+    Recognized diag terms: IndependentNoise/Nugget with assume_unique (an
+    equality mask would need the N² comparison the fusion avoids), each
+    optionally wrapped in measurement_only — live only when
+    ``for_measurements`` (training covariance semantics).
+    """
+    from ..kernels.base import SumKernel
+    from ..kernels.distances import EuclideanDistance
+    from ..kernels.measurement import MeasurementOnly
+    from ..kernels.noise import _EqualityNoise
+    from ..kernels.radial import _RadialKernel
+
+    terms = []
+
+    def flatten(node):
+        if isinstance(node, SumKernel):
+            flatten(node.lhs)
+            flatten(node.rhs)
+        else:
+            terms.append(node)
+
+    flatten(kernel)
+    radial = None
+    diag_scalar = 0.0
+    for term in terms:
+        live = True
+        if isinstance(term, MeasurementOnly):
+            live = for_measurements
+            term = term.sub
+        if isinstance(term, _RadialKernel):
+            if radial is not None or not term._profile_name:
+                return None
+            if not isinstance(term.distance_metric, EuclideanDistance):
+                return None
+            if not live:
+                return None
+            radial = term
+        elif isinstance(term, _EqualityNoise):
+            if not getattr(term, "assume_unique", False):
+                return None
+            if live:
+                diag_scalar = diag_scalar + term._sigma2()
+        else:
+            return None
+    if radial is None:
+        return None
+    ls, sigma = radial._params_values()
+    return radial, ls, sigma, diag_scalar
+
+
+def fused_training_covariance(
+    kernel, X, target_variance=None, jitter: float = 0.0
+):
+    """Complete training covariance K + σ²I + diag(var) + jitter·I as one
+    fused pallas pass, or None when the kernel/batch doesn't qualify.
+    Differentiable (pallas forward, XLA closed-form VJP)."""
+    from .. import config
+
+    matched = match_fused_training_cov(kernel, X, for_measurements=True)
+    if matched is None:
+        return None
+    _, ls, sigma, diag_scalar = matched
+    leaves = jax.tree_util.tree_leaves(X)
+    if len(leaves) != 1 or leaves[0].ndim > 2:
+        return None
+    x = leaves[0]
+    if not config.pallas_gram_enabled(x.shape[0] * x.shape[0], x.dtype):
+        return None
+    diag = jnp.full((x.shape[0],), diag_scalar, dtype=x.dtype) + jitter
+    if target_variance is not None:
+        diag = diag + target_variance
+    return fused_radial_gram_diag(
+        x, ls, sigma, diag, matched[0]._profile_name
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_radial_gram_diag(X, length_scale, sigma, diag, profile):
+    return pallas_radial_gram(
+        X, X, length_scale, sigma, profile, diag_add=diag
+    )
+
+
+def _fused_diag_fwd(X, length_scale, sigma, diag, profile):
+    out = fused_radial_gram_diag(X, length_scale, sigma, diag, profile)
+    return out, (X, length_scale, sigma, diag)
+
+
+def _fused_diag_bwd(profile, residuals, cotangent):
+    X, length_scale, sigma, diag = residuals
+    X2 = X[:, None] if X.ndim == 1 else X
+
+    def ref(x, l, s, dg):
+        return _xla_reference_gram(x, x, l, s, profile) + jnp.diag(dg)
+
+    _, vjp_fn = jax.vjp(ref, X2, length_scale, sigma, diag)
+    gX, gl, gs, gd = vjp_fn(cotangent)
+    if X.ndim == 1:
+        gX = gX[:, 0]
+    return gX, gl, gs, gd
+
+
+fused_radial_gram_diag.defvjp(_fused_diag_fwd, _fused_diag_bwd)

@@ -27,6 +27,44 @@ import numpy as np
 SERIALIZATION_VERSION = 1
 MAGIC = b"ALBTPU01"
 
+# -- durable loading ---------------------------------------------------------
+# The treedef references the pytree node classes by module path.  Two
+# durability hazards of naive pickle.load are closed here:
+# * arbitrary-code-execution: a restricted unpickler only resolves classes
+#   from an allowlist of module prefixes;
+# * refactor breakage: CLASS_RENAMES maps old (module, qualname) pairs to
+#   their current homes, so checkpoints survive class moves (the analog of
+#   cereal's explicit version/name registration, src/cereal/*).
+_ALLOWED_MODULE_PREFIXES = (
+    "albatross_tpu",
+    "jax",
+    "jaxlib",
+    "numpy",
+    "builtins",
+    "collections",
+    "functools",
+)
+
+# (old_module, old_qualname) -> (new_module, new_qualname); extend whenever a
+# registered pytree class moves between releases.
+CLASS_RENAMES: dict = {}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        module, name = CLASS_RENAMES.get((module, name), (module, name))
+        root = module.split(".")[0]
+        if root not in _ALLOWED_MODULE_PREFIXES:
+            raise pickle.UnpicklingError(
+                f"checkpoint references disallowed class {module}.{name}; "
+                "only albatross_tpu/jax/numpy pytree nodes may load"
+            )
+        return super().find_class(module, name)
+
+
+def _restricted_loads(data: bytes):
+    return _RestrictedUnpickler(io.BytesIO(data)).load()
+
 
 def save_checkpoint(path: str, obj: Any) -> None:
     """Serialize any pytree (model, FitModel, chain, ...) to disk.
@@ -53,13 +91,13 @@ def load_checkpoint(path: str) -> Any:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:
             raise ValueError(f"{path} is not an albatross_tpu checkpoint")
-        payload = pickle.load(f)
+        payload = _restricted_loads(f.read())
     if payload["version"] > SERIALIZATION_VERSION:
         raise ValueError(
             f"checkpoint version {payload['version']} is newer than "
             f"supported {SERIALIZATION_VERSION}"
         )
-    treedef = pickle.loads(payload["treedef"])
+    treedef = _restricted_loads(payload["treedef"])
     data = np.load(io.BytesIO(zlib.decompress(payload["arrays"])))
     leaves = [data[key] for key in data.files]
     import jax.numpy as jnp

@@ -6,6 +6,7 @@ from .tune import (
     TuningResult,
     get_tuner,
     mean_aggregator,
+    tune_parameter_store,
 )
 
 __all__ = [k for k in dir() if not k.startswith("_")]

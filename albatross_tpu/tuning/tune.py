@@ -36,7 +36,7 @@ def mean_aggregator(values) -> float:
 
 @dataclasses.dataclass
 class TuningResult:
-    params: ParameterStore
+    params: Optional[ParameterStore]  # filled by ModelTuner/param-store form
     value: float
     x: np.ndarray
     history: List[float]
@@ -44,6 +44,51 @@ class TuningResult:
 
 def _clip(x, lower, upper):
     return jnp.clip(x, lower, upper)
+
+
+# -- smooth bound handling ----------------------------------------------------
+# The gradient path optimizes an UNCONSTRAINED vector u and maps it through a
+# smooth bijection into the box — two-sided bounds via scaled sigmoid,
+# one-sided via softplus shifts — so the optimizer state never fights a
+# clamp at an active bound (the failure mode of projected steps with
+# momentum/curvature optimizers).  The reference clamps inside nlopt
+# (parameters.hpp:166-177); this is the differentiable equivalent.
+_SOFTPLUS_CAP = 30.0
+
+
+def _softplus(u):
+    return jnp.where(u > _SOFTPLUS_CAP, u, jnp.log1p(jnp.exp(jnp.minimum(u, _SOFTPLUS_CAP))))
+
+
+def _softplus_inv(x):
+    x = jnp.maximum(x, 1e-300)
+    return jnp.where(x > _SOFTPLUS_CAP, x, jnp.log(jnp.expm1(jnp.minimum(x, _SOFTPLUS_CAP))))
+
+
+def _make_bijection(lower, upper):
+    """(constrain, unconstrain) mapping R^n <-> the bound box."""
+    two_sided = jnp.isfinite(lower) & jnp.isfinite(upper)
+    lower_only = jnp.isfinite(lower) & ~jnp.isfinite(upper)
+    upper_only = ~jnp.isfinite(lower) & jnp.isfinite(upper)
+    span = jnp.where(two_sided, upper - lower, 1.0)
+
+    def constrain(u):
+        x = u  # free
+        x = jnp.where(two_sided, lower + span * jax.nn.sigmoid(u), x)
+        x = jnp.where(lower_only, lower + _softplus(u), x)
+        x = jnp.where(upper_only, upper - _softplus(-u), x)
+        return x
+
+    def unconstrain(x):
+        x_in = jnp.clip(x, lower, upper)
+        t = jnp.clip((x_in - lower) / span, 1e-12, 1.0 - 1e-12)
+        u = x  # free
+        u = jnp.where(two_sided, jnp.log(t) - jnp.log1p(-t), u)
+        u = jnp.where(lower_only, _softplus_inv(x_in - lower), u)
+        u = jnp.where(upper_only, -_softplus_inv(upper - x_in), u)
+        return u
+
+    return constrain, unconstrain
 
 
 class GenericTuner:
@@ -86,43 +131,49 @@ class GenericTuner:
         else:
             opt = optax.lbfgs()
 
-        value_and_grad = jax.jit(jax.value_and_grad(objective))
+        constrain, unconstrain = _make_bijection(lower, upper)
+
+        def obj_u(u):
+            return objective(constrain(u))
+
+        value_and_grad = jax.jit(jax.value_and_grad(obj_u))
 
         @jax.jit
-        def step(x, opt_state):
-            value, grad = value_and_grad(x)
+        def step(u, opt_state):
+            value, grad = value_and_grad(u)
             if self.optimizer == "adam":
-                updates, opt_state = opt.update(grad, opt_state, x)
+                updates, opt_state = opt.update(grad, opt_state, u)
             else:
                 updates, opt_state = opt.update(
                     grad,
                     opt_state,
-                    x,
+                    u,
                     value=value,
                     grad=grad,
-                    value_fn=objective,
+                    value_fn=obj_u,
                 )
-            x = _clip(optax.apply_updates(x, updates), lower, upper)
-            return x, opt_state, value
+            return optax.apply_updates(u, updates), opt_state, value
 
-        x = x0
-        opt_state = opt.init(x)
+        u = unconstrain(x0)
+        opt_state = opt.init(u)
         history: List[float] = []
-        best_x, best_v = x, np.inf
+        best_u, best_v = u, np.inf
         for i in range(self.max_iterations):
-            x, opt_state, value = step(x, opt_state)
+            u, opt_state, value = step(u, opt_state)
             v = float(value)
             history.append(v)
             if self.log_fn:
-                self.log_fn(i, np.asarray(x), v)
+                self.log_fn(i, np.asarray(constrain(u)), v)
             if v < best_v:
-                best_v, best_x = v, x
+                best_v, best_u = v, u
             if i > 5 and abs(history[-2] - v) < self.tolerance * (1 + abs(v)):
                 break
-        final_v = float(objective(x))
+        final_v = float(obj_u(u))
         if final_v < best_v:
-            best_v, best_x = final_v, x
-        return TuningResult({}, best_v, np.asarray(best_x), history)
+            best_v, best_u = final_v, u
+        return TuningResult(
+            None, best_v, np.asarray(constrain(best_u)), history
+        )
 
     # -- simplex path (SBPLX analog) ----------------------------------------
     def _nelder_mead(self, objective, x0, lower, upper) -> TuningResult:
@@ -187,7 +238,9 @@ class GenericTuner:
                         )
                         values[i] = f(simplex[i])
         best = int(np.argmin(values))
-        return TuningResult({}, float(values[best]), simplex[best], history)
+        return TuningResult(
+            None, float(values[best]), simplex[best], history
+        )
 
 
 class ModelTuner:
@@ -232,3 +285,24 @@ class ModelTuner:
 
 def get_tuner(model, metric, dataset, **kwargs) -> ModelTuner:
     return ModelTuner(model, metric, dataset, **kwargs)
+
+
+def tune_parameter_store(
+    objective: Callable[[ParameterStore], object],
+    params: ParameterStore,
+    **tuner_kwargs,
+) -> TuningResult:
+    """Tune an f(ParameterStore) objective (the reference's third objective
+    form, tune.hpp:112-140): the store's tunable vector is optimized and the
+    result carries the updated store."""
+    from ..core.parameters import get_tunable_parameters
+
+    tunable = get_tunable_parameters(params)
+    tuner = GenericTuner(tunable, **tuner_kwargs)
+
+    def vector_objective(x):
+        return objective(set_tunable_params(params, x))
+
+    result = tuner.tune(vector_objective)
+    result.params = set_tunable_params(params, jnp.asarray(result.x))
+    return result

@@ -97,8 +97,102 @@ def main() -> int:
         "unit": f"TFLOP/s ({1.0 / per_eval:.2f} NLML evals/s)",
         "vs_baseline": round(tflops / (TARGET_FRACTION * PEAK_F32_TFLOPS), 4),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+    # secondary metrics (BASELINE.md north-star rows 2-4): serving predict
+    # throughput + sampler walker-steps/s.  Printed to STDERR and written to
+    # BENCH_DETAIL.json so the README numbers are driver-reproducible; the
+    # single stdout line above stays the parsed headline.  Opt out with
+    # ALBATROSS_BENCH_EXTRAS=0.
+    if os.environ.get("ALBATROSS_BENCH_EXTRAS", "1") != "0":
+        try:
+            details = [result] + _extra_benchmarks()
+            with open(
+                os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"),
+                "w",
+            ) as fh:
+                json.dump(details, fh, indent=1)
+        except Exception as exc:  # extras must never break the headline
+            print(
+                json.dumps({"metric": "bench_extras_error", "unit": str(exc)[:200]}),
+                file=sys.stderr,
+            )
     return 0
+
+
+def _extra_benchmarks():
+    """Serving-predict throughput and sampler walker-steps/s (small configs
+    to bound compile time; each result echoed to stderr as one JSON line)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import albatross_tpu as ab
+
+    out = []
+
+    def emit(metric, value, unit):
+        rec = {"metric": metric, "value": round(value, 4), "unit": unit}
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+        out.append(rec)
+
+    rng = np.random.default_rng(1)
+    # -- serving predict: for_serving() marginal predictions ----------------
+    n, m = 8192, 4096
+    x = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, n)), dtype=jnp.float32)
+    y = jnp.sin(0.3 * x)
+    xs = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, m)), dtype=jnp.float32)
+    kernel = ab.SquaredExponential(2.0, 1.0) + ab.measurement_only(
+        ab.IndependentNoise(0.3, assume_unique=True)
+    )
+    model = ab.gp_from_covariance(kernel, jitter=1e-4)
+    fit = model.fit(ab.RegressionDataset.create(x, y)).for_serving()
+
+    @jax.jit
+    def predict(fit, xs, prev):
+        p = fit.predict(xs + 1e-30 * prev).marginal()
+        return p.mean, p.variance
+
+    mean, var = predict(fit, xs, jnp.float32(0.0))
+    float(mean[0])
+    R = 8
+    t0 = time.perf_counter()
+    prev = jnp.float32(0.0)
+    for _ in range(R):
+        mean, var = predict(fit, xs, prev)
+        prev = mean[0]
+    float(prev)
+    dt = (time.perf_counter() - t0) / R
+    emit(
+        f"serving_predict_points_per_s_n{n}_m{m}",
+        m / dt / 1e6,
+        f"Mpts/s ({dt * 1000:.1f} ms/batch)",
+    )
+
+    # -- sampler: walker-steps/s ---------------------------------------------
+    ns, w, iters = 1024, 32, 16
+    xsamp = jnp.asarray(np.sort(rng.uniform(0.0, 10.0, ns)), dtype=jnp.float32)
+    data = ab.RegressionDataset.create(xsamp, jnp.sin(xsamp))
+    smodel = ab.gp_from_covariance(
+        ab.SquaredExponential(1.5, 1.0) + ab.IndependentNoise(0.1),
+        jitter=1e-5,
+    )
+    from albatross_tpu.samplers import ensemble_sampler_from_model
+
+    ensemble_sampler_from_model(  # compile warmup
+        smodel, data, n_walkers=w, max_iterations=2, key=0
+    )
+    t0 = time.perf_counter()
+    ensemble_sampler_from_model(
+        smodel, data, n_walkers=w, max_iterations=iters, key=0
+    )
+    dt = time.perf_counter() - t0
+    emit(
+        f"sampler_walker_steps_per_s_n{ns}_w{w}",
+        w * iters / dt,
+        f"walker-steps/s ({iters} iters in {dt:.2f}s)",
+    )
+    return out
 
 
 if __name__ == "__main__":

@@ -45,6 +45,63 @@ def gp_kernel():
     )
 
 
+def _adapted_gp():
+    """The reference's adapted-GP factory (test_model_adapter.cc): shift
+    features by an adapter parameter before delegating to a plain GP."""
+    from albatross_tpu.core.parameters import Parameter
+    from albatross_tpu.models.adapter import AdaptedModel
+
+    return AdaptedModel(
+        gp_from_covariance(gp_kernel()),
+        lambda adapter, feats: feats - adapter.shift.value,
+        params={"shift": Parameter(0.5)},
+    )
+
+
+def _pitc_sparse_gp():
+    """Sparse GP with a non-trivial (interval) grouper — the PITC variant."""
+    import numpy as _np
+
+    return sparse_gp_from_covariance(
+        gp_kernel(),
+        grouper=lambda f: _np.floor(_np.asarray(f) / 2.0).astype(_np.int64),
+        inducing_point_strategy=UniformlySpacedInducingPoints(12),
+    )
+
+
+def _chi2_ransac():
+    """MakeRansacChiSquaredGaussianProcess (test_models.h:116-139): chi²-CDF
+    inlier metric, chi² consensus + candidate validity, threshold 1."""
+    from albatross_tpu.models.ransac import (
+        ChiSquaredConsensusMetric,
+        ChiSquaredIsValidCandidateMetric,
+        gp_ransac_strategy,
+    )
+    from albatross_tpu.evaluation.metrics import ChiSquaredCdf
+    from albatross_tpu.indexing import LeaveOneOutGrouper
+
+    strategy = gp_ransac_strategy(
+        ChiSquaredCdf(),
+        ChiSquaredConsensusMetric(),
+        LeaveOneOutGrouper(),
+        is_valid_candidate=ChiSquaredIsValidCandidateMetric(),
+    )
+    return gp_from_covariance(gp_kernel()).ransac(
+        strategy, RansacConfig(1.0, 3, 3, 20, 20)
+    )
+
+
+def _generic_ransac():
+    from albatross_tpu.models.ransac import DefaultRansacStrategy
+
+    return gp_from_covariance(gp_kernel()).ransac(
+        DefaultRansacStrategy(), RansacConfig(3.0, 3, 12, 6, 6)
+    )
+
+
+# Mirrors the reference's ExampleModels list (test_models.h:300-315): linear
+# regression, GP, GP+mean, sparse GP (LOO + PITC variants), adapted GP,
+# RANSAC variants, NullModel.
 MODEL_FACTORIES = {
     "linear_regression": lambda: LinearRegression(),
     "gp": lambda: gp_from_covariance(gp_kernel()),
@@ -55,9 +112,13 @@ MODEL_FACTORIES = {
         gp_kernel(),
         inducing_point_strategy=UniformlySpacedInducingPoints(12),
     ),
+    "sparse_gp_pitc": _pitc_sparse_gp,
+    "adapted_gp": _adapted_gp,
     "gp_ransac": lambda: gp_from_covariance(gp_kernel()).ransac(
         DefaultGPRansacStrategy(), RansacConfig(3.0, 3, 12, 8, 8)
     ),
+    "gp_ransac_chi2": _chi2_ransac,
+    "generic_ransac": _generic_ransac,
     "null": lambda: NullModel(),
 }
 
@@ -190,3 +251,29 @@ def test_linear_combination_custom_coefficients(rng):
     expected_var = float(coefs @ individual.covariance @ coefs)
     assert float(pred.mean[0]) == pytest.approx(expected_mean, rel=1e-8)
     assert float(pred.variance[0]) == pytest.approx(expected_var, rel=1e-5)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(k for k in PREDICTIVE if "ransac" not in k)
+)
+def test_params_roundtrip_preserves_predictions(name, rng):
+    """get_params -> set_params must be an identity on model behavior
+    (parameter_handling_mixin.hpp round-trip semantics)."""
+    data = make_linear_data(rng)
+    model = MODEL_FACTORIES[name]()
+    roundtripped = model.set_params(model.get_params())
+    xs = jnp.linspace(0.5, 9.5, 5)
+    a = np.asarray(_richest(model.fit(data).predict(xs)).mean)
+    b = np.asarray(_richest(roundtripped.fit(data).predict(xs)).mean)
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+@pytest.mark.parametrize("name", sorted(PREDICTIVE))
+def test_predict_at_train_recovers_targets(name, rng):
+    """Predicting the training features recovers the targets within a few
+    noise sigmas (the behavioral floor every reference family satisfies)."""
+    data = make_linear_data(rng)
+    model = MODEL_FACTORIES[name]()
+    pred = np.asarray(model.fit(data).predict(data.features).mean())
+    resid = pred - np.asarray(data.targets.mean)
+    assert np.max(np.abs(resid)) < 0.5, name
