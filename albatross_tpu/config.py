@@ -4,13 +4,22 @@ from __future__ import annotations
 
 import jax
 
-# Fused Pallas gram: measured ~1.8x faster than the XLA broadcast path in
-# isolation on v5e, but *slower inside the full NLML pipeline* (it blocks
-# XLA from fusing the diagonal-add/symmetrize epilogue into the gram loop),
-# so it is opt-in: set True to force, False to forbid, None = off by default.
+# Fused Pallas gram policy (all numbers measured on v5e, f32):
+# * D <= 8: the XLA broadcast-distance path is exact-f32 AND faster inside
+#   the full NLML pipeline (58.9 vs 56.8 TF/s at N=28672 even with the
+#   diagonal epilogue folded into the pallas kernel) -> XLA by default.
+# * D > 8: XLA must use the |x|^2-2xy matmul trick, which cancels
+#   catastrophically for large coordinates (2.0e-5 max error vs f64 at
+#   D=32/coords~100 even at precision=HIGHEST), while the pallas kernel's
+#   elementwise VMEM distances are exact-f32 (6.1e-10) at near-parity speed
+#   (30.4 vs 26.9 ms at N=8192) -> pallas by default.
+# True forces pallas everywhere, False forbids it, None = the auto policy.
 USE_PALLAS_GRAM: bool | None = None
 # minimum N*M before the fused Pallas gram engages (tiling overhead below)
 PALLAS_GRAM_MIN_ELEMENTS: int = 512 * 512
+# feature dimension above which the auto policy prefers pallas (must match
+# the broadcast-vs-matmul switch in kernels/distances.py)
+PALLAS_GRAM_AUTO_MIN_D: int = 9
 
 
 # Factorization accuracy mode: None = fast (single-bf16-pass trailing
@@ -21,8 +30,10 @@ PALLAS_GRAM_MIN_ELEMENTS: int = 512 * 512
 CHOLESKY_PRECISION: str | None = None
 
 
-def pallas_gram_enabled(n_elements: int, dtype) -> bool:
-    if USE_PALLAS_GRAM is not True:
+def pallas_gram_enabled(n_elements: int, dtype, d: int = 1) -> bool:
+    if USE_PALLAS_GRAM is False:
+        return False
+    if USE_PALLAS_GRAM is None and d < PALLAS_GRAM_AUTO_MIN_D:
         return False
     import jax.numpy as jnp
 

@@ -101,7 +101,8 @@ class _RadialKernel(CovarianceFunction):
         if len(Xl) != 1 or Xl[0].ndim > 2 or Yl[0].ndim > 2:
             return None
         n_elements = Xl[0].shape[0] * Yl[0].shape[0]
-        if not config.pallas_gram_enabled(n_elements, Xl[0].dtype):
+        d = 1 if Xl[0].ndim == 1 else Xl[0].shape[-1]
+        if not config.pallas_gram_enabled(n_elements, Xl[0].dtype, d):
             return None
         from ..ops.pallas_gram import fused_radial_gram
 

@@ -169,9 +169,25 @@ def pallas_radial_gram(
 # Differentiable wrapper: Pallas forward, XLA closed-form backward.
 # ---------------------------------------------------------------------------
 def _xla_reference_gram(X, Y, length_scale, sigma, profile: str):
-    """Broadcast-based closed form used for the VJP (and as fallback)."""
-    diff = X[:, None, :] - Y[None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    """Closed form used for the VJP (and as fallback).
+
+    D ≤ 8: broadcast differences (exact, XLA fuses the reduce).  D > 8: the
+    |x|²+|y|²−2x·y GEMM form at HIGHEST — the (N, M, D) broadcast tensor is
+    too slow/large for the backward at high D, and gradient-side
+    cancellation noise (~1e-5) is acceptable where forward values are not.
+    """
+    if X.shape[-1] <= 8:
+        diff = X[:, None, :] - Y[None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+    else:
+        x2 = jnp.sum(X * X, axis=-1)
+        y2 = jnp.sum(Y * Y, axis=-1)
+        d2 = (
+            x2[:, None]
+            + y2[None, :]
+            - 2.0 * jnp.matmul(X, Y.T, precision=jax.lax.Precision.HIGHEST)
+        )
+        d2 = jnp.maximum(d2, 0.0)
     return _apply_profile(profile, d2, length_scale, sigma)
 
 
@@ -287,7 +303,8 @@ def fused_training_covariance(
     if len(leaves) != 1 or leaves[0].ndim > 2:
         return None
     x = leaves[0]
-    if not config.pallas_gram_enabled(x.shape[0] * x.shape[0], x.dtype):
+    d = 1 if x.ndim == 1 else x.shape[-1]
+    if not config.pallas_gram_enabled(x.shape[0] * x.shape[0], x.dtype, d):
         return None
     diag = jnp.full((x.shape[0],), diag_scalar, dtype=x.dtype) + jitter
     if target_variance is not None:

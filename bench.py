@@ -177,15 +177,26 @@ def _extra_benchmarks():
         ab.SquaredExponential(1.5, 1.0) + ab.IndependentNoise(0.1),
         jitter=1e-5,
     )
-    from albatross_tpu.samplers import ensemble_sampler_from_model
+    from albatross_tpu.core.parameters import set_tunable_params
+    from albatross_tpu.samplers import (
+        ensemble_sampler,
+        initial_params_from_jitter,
+    )
 
-    ensemble_sampler_from_model(  # compile warmup
-        smodel, data, n_walkers=w, max_iterations=2, key=0
+    # one stable log_prob_fn so the warmup chain's compiled scan is reused
+    # by the timed chain (the module-level _run_chunk jit keys on it)
+    params0 = smodel.get_params()
+
+    def single_log_prob(t):
+        return smodel.set_params(set_tunable_params(params0, t)).log_likelihood(data)
+
+    log_prob_fn = jax.jit(jax.vmap(single_log_prob))
+    init = initial_params_from_jitter(
+        jax.random.PRNGKey(0), smodel.get_tunable_parameters().values, w
     )
+    ensemble_sampler(log_prob_fn, init, iters, jax.random.PRNGKey(1))
     t0 = time.perf_counter()
-    ensemble_sampler_from_model(
-        smodel, data, n_walkers=w, max_iterations=iters, key=0
-    )
+    ensemble_sampler(log_prob_fn, init, iters, jax.random.PRNGKey(1))
     dt = time.perf_counter() - t0
     emit(
         f"sampler_walker_steps_per_s_n{ns}_w{w}",
