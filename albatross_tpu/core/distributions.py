@@ -101,6 +101,29 @@ class MarginalDistribution:
         var = self.get_variance().at[indices].set(other.get_variance())
         return MarginalDistribution(mean, var)
 
+    # -- linear transforms (transformed_distribution.hpp:70-101) ------------
+    def transform(self, matrix) -> "JointDistribution":
+        """A @ N(mu, diag(v)) = N(A mu, A diag(v) Aᵀ)."""
+        matrix = jnp.asarray(matrix)
+        cov = (matrix * self.get_variance()[None, :]) @ matrix.T
+        return JointDistribution(matrix @ self.mean, cov)
+
+    # make `np_matrix @ dist` defer to __rmatmul__ instead of numpy trying
+    # to broadcast the dataclass as a 0-d operand
+    __array_ufunc__ = None
+
+    def transform_marginal(self, matrix) -> "MarginalDistribution":
+        """Marginal of the transform without materializing A diag(v) Aᵀ —
+        the reference's product_sqrt + rowwise square-sum
+        (transformed_distribution.hpp:40-45,87-92): var_i = Σ_j A_ij² v_j."""
+        matrix = jnp.asarray(matrix)
+        return MarginalDistribution(
+            matrix @ self.mean, (matrix**2) @ self.get_variance()
+        )
+
+    def __rmatmul__(self, matrix) -> "JointDistribution":
+        return self.transform(matrix)
+
     def __repr__(self):
         return (
             f"MarginalDistribution(n={self.mean.shape}, "
@@ -167,6 +190,17 @@ class JointDistribution:
         return JointDistribution(
             matrix @ self.mean, matrix @ self.covariance @ matrix.T
         )
+
+    __array_ufunc__ = None  # let `np_matrix @ dist` reach __rmatmul__
+
+    def transform_marginal(self, matrix) -> MarginalDistribution:
+        """Marginal of the transform without materializing A C Aᵀ (the
+        reference computes product_sqrt then rowwise square-sums,
+        transformed_distribution.hpp:47-52,87-92; the einsum contracts to
+        the diagonal directly)."""
+        matrix = jnp.asarray(matrix)
+        var = jnp.einsum("ij,jk,ik->i", matrix, self.covariance, matrix)
+        return MarginalDistribution(matrix @ self.mean, var)
 
     def __rmatmul__(self, matrix) -> "JointDistribution":
         return self.transform(matrix)

@@ -74,7 +74,14 @@ def gp_marginal_prediction(
     pred = gp_mean_prediction(cross_cov, information)
     explained = train_covariance.solve(cross_cov)
     explained_variance = jnp.sum(explained * cross_cov, axis=0)
-    return MarginalDistribution(pred, prior_variance - explained_variance)
+    # The latent posterior variance at (or next to) a training point is ~0,
+    # and in f32 the cancellation prior−explained can round a few ulps
+    # negative (measured −2e-5 on a 60-pt sinc fit), NaN-ing downstream
+    # sqrts.  True variance is ≥ 0, so clamp — the reference runs in f64
+    # where this never surfaces.
+    return MarginalDistribution(
+        pred, jnp.maximum(prior_variance - explained_variance, 0.0)
+    )
 
 
 def gp_joint_prediction(

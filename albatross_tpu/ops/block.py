@@ -162,6 +162,37 @@ class BlockDiagonalCholesky:
         diags = jnp.diagonal(self.L, axis1=1, axis2=2)
         return 2.0 * jnp.sum(jnp.where(mask, jnp.log(diags), 0.0))
 
+    def l1_norm(self) -> float:
+        """||A||₁ of the factorized matrix: max abs column sum, which for a
+        block-diagonal matrix is the max over blocks
+        (block_diagonal.hpp:220-228)."""
+        b = self.L.shape[1]
+        A = jax.vmap(lambda Lg: Lg @ Lg.T)(self.L)
+        col_valid = jnp.arange(b)[None, :] < self.sizes[:, None]
+        # zero out padded rows/cols before the column sums
+        A = jnp.where(col_valid[:, :, None] & col_valid[:, None, :], A, 0.0)
+        col_sums = jnp.sum(jnp.abs(A), axis=1)  # (G, b)
+        return float(jnp.max(jnp.where(col_valid, col_sums, -jnp.inf)))
+
+    def rcond(self, max_iterations: int = 5) -> float:
+        """Reciprocal L1 condition estimate, 1/(||A||₁·est‖A⁻¹‖₁), via
+        Hager's one-norm estimator driven by block solves — the TPU
+        re-design of Eigen's rcond_estimate_helper
+        (block_diagonal.hpp:220-228)."""
+        n = self.rows
+        x = jnp.full((n,), 1.0 / n)
+        est = 0.0
+        for _ in range(max_iterations):
+            y = self.solve(x)
+            est = float(jnp.sum(jnp.abs(y)))
+            xi = jnp.sign(y)
+            z = self.solve(xi)  # A symmetric: Aᵀ-solve == solve
+            if float(jnp.max(jnp.abs(z))) <= float(z @ x):
+                break
+            x = jnp.zeros((n,)).at[int(jnp.argmax(jnp.abs(z)))].set(1.0)
+        denom = self.l1_norm() * est
+        return float("inf") if denom == 0.0 else 1.0 / denom
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)

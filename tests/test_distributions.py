@@ -127,3 +127,36 @@ def test_dedup_and_transform_dataset(rng):
     fit = gp_from_covariance(kernel).fit(diffs)
     pred = fit.predict(jnp.asarray([1.0, 5.0])).marginal()
     assert np.all(np.isfinite(np.asarray(pred.mean)))
+
+
+def test_transform_marginal_paths(rng):
+    """transform/transform_marginal mirror TransformedDistribution's lazy
+    marginal()/joint() (transformed_distribution.hpp:40-101): the marginal
+    path must equal diag of the full A C At product without building it."""
+    A = jnp.asarray(rng.standard_normal((3, 4)))
+    mean = jnp.asarray(rng.standard_normal(4))
+    var = jnp.asarray(rng.uniform(0.5, 2.0, 4))
+    m = MarginalDistribution.create(mean, var)
+
+    joint = A @ m
+    assert isinstance(joint, JointDistribution)
+    dense = np.asarray(A) @ np.diag(np.asarray(var)) @ np.asarray(A).T
+    np.testing.assert_allclose(np.asarray(joint.covariance), dense, rtol=1e-12)
+    marg = m.transform_marginal(A)
+    np.testing.assert_allclose(
+        np.asarray(marg.get_variance()), np.diag(dense), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(marg.mean), np.asarray(A) @ np.asarray(mean), rtol=1e-12
+    )
+
+    C = rng.standard_normal((4, 4))
+    C = jnp.asarray(C @ C.T + 4.0 * np.eye(4))
+    j = JointDistribution.create(mean, C)
+    jm = j.transform_marginal(A)
+    full = j.transform(A)
+    np.testing.assert_allclose(
+        np.asarray(jm.get_variance()),
+        np.diag(np.asarray(full.covariance)),
+        rtol=1e-12,
+    )

@@ -366,3 +366,32 @@ def test_ransac_batched_failed_candidates(rng):
     assert len(batched.iterations) == len(serial.iterations)
     for bi, si in zip(batched.iterations, serial.iterations):
         assert bi.candidates == si.candidates
+
+
+def test_block_diagonal_rcond(rng):
+    """rcond estimate (Hager driven by block solves) matches the exact L1
+    condition number of the block-diagonal matrix (block_diagonal.hpp:220-228
+    capability) on small ragged blocks where the exact value is computable."""
+    from albatross_tpu.ops import BlockDiagonal
+
+    blocks = []
+    for n in (3, 5, 2):
+        M = rng.standard_normal((n, n))
+        blocks.append(jnp.asarray(M @ M.T + (1.0 + n) * np.eye(n)))
+    bd = BlockDiagonal.from_blocks(blocks)
+    chol = bd.factorize()
+
+    dense = np.asarray(bd.to_dense())
+    exact = 1.0 / (
+        np.abs(dense).sum(axis=0).max()
+        * np.abs(np.linalg.inv(dense)).sum(axis=0).max()
+    )
+    est = chol.rcond()
+    assert 0.0 < est <= 1.0
+    # Hager's estimator is exact-or-slight-underestimate of ||A^-1||_1, so
+    # rcond() >= exact, and for these tiny blocks it should be tight.
+    np.testing.assert_allclose(est, exact, rtol=0.25)
+    # l1_norm ignores the identity padding
+    np.testing.assert_allclose(
+        chol.l1_norm(), np.abs(dense).sum(axis=0).max(), rtol=1e-6
+    )
