@@ -170,7 +170,10 @@ def _extra_benchmarks():
     )
 
     # -- sampler: walker-steps/s ---------------------------------------------
-    ns, w, iters = 1024, 32, 16
+    # iters=64 so the ~0.2 s fixed per-chain cost (eager finite-init sync +
+    # dispatch) doesn't dominate: measured on v5e 1474 steps/s at 16 iters
+    # vs 2424 at 64 and 2927 at 256 (benchmarks/exp_sampler_tpu.py)
+    ns, w, iters = 1024, 32, 64
     xsamp = jnp.asarray(np.sort(rng.uniform(0.0, 10.0, ns)), dtype=jnp.float32)
     data = ab.RegressionDataset.create(xsamp, jnp.sin(xsamp))
     smodel = ab.gp_from_covariance(
