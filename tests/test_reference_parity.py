@@ -368,3 +368,70 @@ def test_leave_one_group_out_equivalences():
             np.asarray(exp.covariance),
             atol=1e-6,
         )
+
+
+# ---------------------------------------------------------------------------
+# test_samplers.cc:25-106 — distributional correctness of the ensemble
+# sampler: sampling a known target, the chi²/uniform CDFs of the (burned-in,
+# thinned) chain must be uniform by a KS test at the reference's exact
+# thresholds.  Same config: 10 walkers, 2000 iterations, burn_in 100,
+# thin 10, sd = pi.
+# ---------------------------------------------------------------------------
+def _chain_cdfs(chain, value_to_cdf, burn_in=100, thin=10):
+    vals = np.asarray(chain.params[burn_in::thin, :, 0]).ravel()
+    return value_to_cdf(vals)
+
+
+def test_sampler_from_normal_distribution_ks():
+    """test_samplers.cc:25-61 (test_samplers_from_normal_distribution)."""
+    import jax
+    import jax.numpy as jnp
+
+    from albatross_tpu.samplers import ensemble_sampler
+    from albatross_tpu.stats import chi_squared_cdf_value, uniform_ks_test
+
+    sd = np.pi
+
+    def log_prob(xs):  # (W, 1) -> (W,)
+        return -0.5 * (xs[:, 0] / sd) ** 2
+
+    init = 0.1 * sd * jax.random.normal(jax.random.PRNGKey(2012), (10, 1))
+    chain = ensemble_sampler(log_prob, init, 2000, jax.random.PRNGKey(7))
+    cdfs = _chain_cdfs(
+        chain,
+        lambda v: np.asarray(
+            jnp.vectorize(lambda s: chi_squared_cdf_value(s, 1))(
+                jnp.asarray((v / sd) ** 2)
+            )
+        ),
+    )
+    assert cdfs.min() < 0.1
+    assert cdfs.max() > 0.9
+    assert float(uniform_ks_test(cdfs)) < 0.05
+
+
+def test_sampler_from_uniform_distribution_ks():
+    """test_samplers.cc:63-106 (test_samplers_from_uniform_distribution),
+    including the reference's deliberately invalid initial walkers that the
+    finite-state repair must fix."""
+    import jax
+    import jax.numpy as jnp
+
+    from albatross_tpu.samplers import ensemble_sampler
+    from albatross_tpu.stats import uniform_ks_test
+
+    def log_prob(xs):
+        x = xs[:, 0]
+        return jnp.where((x >= 0.0) & (x <= 1.0), 0.0, -jnp.inf)
+
+    init = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(2012), (10, 1))
+    ).copy()
+    init[0, 0] = -1.0  # invalid initial params, repaired by init logic
+    init[-1, 0] = 10.0
+    chain = ensemble_sampler(log_prob, init, 2000, jax.random.PRNGKey(7))
+    cdfs = _chain_cdfs(chain, lambda v: v)
+    assert cdfs.min() >= 0.0 and cdfs.max() <= 1.0
+    assert cdfs.min() < 0.1
+    assert cdfs.max() > 0.9
+    assert float(uniform_ks_test(cdfs)) < 0.05
