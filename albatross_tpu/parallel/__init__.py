@@ -13,6 +13,7 @@ from .cholesky2d import (
     distributed_log_determinant_2d,
     distributed_solve_2d,
     distributed_sqrt_solve_2d,
+    distributed_tri_inverse_2d,
 )
 from .gp import (
     DistributedCholesky,

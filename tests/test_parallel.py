@@ -471,3 +471,23 @@ def test_no_device_holds_n_squared(mesh, mesh2d, rng):
     )
     # tile + O(N·q) working set — strictly below one replicated N×N
     assert comp.memory_analysis().temp_size_in_bytes < nsq_bytes
+
+
+def test_distributed_tri_inverse_2d(mesh2d, rng):
+    """The R-round tile-sharded W = L⁻¹ (the engine behind the O(R)-round
+    2-D fast-LOO) matches the dense inverse and stays tile-sharded."""
+    from albatross_tpu.parallel import (
+        distributed_cholesky_2d,
+        distributed_tri_inverse_2d,
+    )
+
+    n = 64
+    A = jnp.asarray(spd_matrix(rng, n))
+    L = distributed_cholesky_2d(A, mesh2d)
+    W = distributed_tri_inverse_2d(L, mesh2d)
+    np.testing.assert_allclose(
+        np.asarray(W),
+        np.linalg.inv(np.linalg.cholesky(np.asarray(A))),
+        atol=1e-9,
+    )
+    assert W.sharding.shard_shape(W.shape) == (16, 32)
