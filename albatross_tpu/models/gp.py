@@ -77,10 +77,17 @@ def gp_marginal_prediction(
     # The latent posterior variance at (or next to) a training point is ~0,
     # and in f32 the cancellation prior−explained can round a few ulps
     # negative (measured −2e-5 on a 60-pt sinc fit), NaN-ing downstream
-    # sqrts.  True variance is ≥ 0, so clamp — the reference runs in f64
-    # where this never surfaces.
+    # sqrts.  True variance is ≥ 0, so clamp — but ONLY rounding-scale
+    # negatives (|raw| small relative to the explained magnitude): a grossly
+    # negative variance from a genuinely failed factorization passes through
+    # so it surfaces (as NaN in any downstream sqrt) instead of silently
+    # reading as zero uncertainty.  The reference runs in f64 where the
+    # benign case never appears.
+    raw = prior_variance - explained_variance
+    scale = jnp.abs(prior_variance) + jnp.abs(explained_variance)
+    rounding_negative = raw >= -1e-3 * scale
     return MarginalDistribution(
-        pred, jnp.maximum(prior_variance - explained_variance, 0.0)
+        pred, jnp.where(rounding_negative, jnp.maximum(raw, 0.0), raw)
     )
 
 

@@ -165,7 +165,11 @@ class BlockDiagonalCholesky:
     def l1_norm(self) -> float:
         """||A||₁ of the factorized matrix: max abs column sum, which for a
         block-diagonal matrix is the max over blocks
-        (block_diagonal.hpp:220-228)."""
+        (block_diagonal.hpp:220-228).
+
+        Eager-only (like the reference's double-returning API): calls
+        ``float`` on device values and raises ConcretizationTypeError under
+        jit/vmap."""
         b = self.L.shape[1]
         A = jax.vmap(lambda Lg: Lg @ Lg.T)(self.L)
         col_valid = jnp.arange(b)[None, :] < self.sizes[:, None]
@@ -178,14 +182,23 @@ class BlockDiagonalCholesky:
         """Reciprocal L1 condition estimate, 1/(||A||₁·est‖A⁻¹‖₁), via
         Hager's one-norm estimator driven by block solves — the TPU
         re-design of Eigen's rcond_estimate_helper
-        (block_diagonal.hpp:220-228)."""
+        (block_diagonal.hpp:220-228).
+
+        Eager-only, like ``l1_norm`` (the estimator's data-dependent stopping
+        rule syncs each iteration); raises ConcretizationTypeError under jit.
+        Follows Higham Alg. 2.4: the estimate is kept monotone (max over
+        iterations) and the loop breaks when it stops increasing; zero
+        entries of y take sign +1."""
         n = self.rows
         x = jnp.full((n,), 1.0 / n)
         est = 0.0
         for _ in range(max_iterations):
             y = self.solve(x)
-            est = float(jnp.sum(jnp.abs(y)))
-            xi = jnp.sign(y)
+            new_est = float(jnp.sum(jnp.abs(y)))
+            if new_est <= est:  # estimate stopped increasing (Higham 2.4)
+                break
+            est = new_est
+            xi = jnp.where(y >= 0, 1.0, -1.0)  # sign with sign(0) := +1
             z = self.solve(xi)  # A symmetric: Aᵀ-solve == solve
             if float(jnp.max(jnp.abs(z))) <= float(z @ x):
                 break

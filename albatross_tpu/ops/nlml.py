@@ -30,6 +30,7 @@ from jax.scipy.linalg import solve_triangular
 from .blocked_cholesky import blocked_tri_inverse
 
 _BLOCK_CANDIDATES = (2560, 2048, 1536, 1280, 1024, 512, 256, 128)
+_PAD_BLOCK = 512
 
 
 def _pick_block(n: int) -> int | None:
@@ -39,17 +40,41 @@ def _pick_block(n: int) -> int | None:
     return None
 
 
+def _pad_identity_tail(T: jnp.ndarray, npad: int) -> jnp.ndarray:
+    """Embed lower-triangular T as blockdiag(T, I_{npad−n}).
+
+    For any lower-triangular T this preserves triangularity, and both
+    trtri and lauum factor through it: blockdiag(T, I)⁻¹ = blockdiag(T⁻¹, I)
+    and blockdiag(W, I)ᵀblockdiag(W, I) = blockdiag(WᵀW, I) — so padded
+    results slice back exactly (no approximation, just wasted tail FLOPs
+    < (_PAD_BLOCK/n)·3 of the total)."""
+    n = T.shape[0]
+    out = jnp.pad(T, ((0, npad - n), (0, npad - n)))
+    tail = jnp.concatenate(
+        [jnp.zeros((n,), T.dtype), jnp.ones((npad - n,), T.dtype)]
+    )
+    return out + jnp.diag(tail)
+
+
 def tri_inverse_full(L: jnp.ndarray) -> jnp.ndarray:
     """W = L⁻¹ for a full-size lower-triangular factor, GEMM-rich.
 
     Two-level: coarse row blocks whose diagonal sub-inverses are themselves
     GEMM-composed (vmapped blocked_tri_inverse) — the same trick the forward
     factorization uses for its panels (ops/blocked_cholesky.py).
+
+    Total for every N: a non-divisible N > 2048 is identity-tail padded to
+    the next _PAD_BLOCK multiple (exact; see _pad_identity_tail) instead of
+    falling back to the latency-bound dense substitution that OOMs at
+    compile above ~8k.
     """
     n = L.shape[0]
-    b = _pick_block(n)
-    if n <= 2048 or b is None:
+    if n <= 2048:
         return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    b = _pick_block(n)
+    if b is None:
+        npad = ((n + _PAD_BLOCK - 1) // _PAD_BLOCK) * _PAD_BLOCK
+        return tri_inverse_full(_pad_identity_tail(L, npad))[:n, :n]
     S = n // b
     diag = jnp.stack(
         [jax.lax.slice(L, (i * b, i * b), ((i + 1) * b, (i + 1) * b)) for i in range(S)]
@@ -81,9 +106,12 @@ def blocked_lauum(W: jnp.ndarray, block: int | None = None) -> jnp.ndarray:
     product is S large MXU GEMMs totalling n³/3 FLOPs instead of a dense n³.
     """
     n = W.shape[0]
-    b = block if block is not None else _pick_block(n)
-    if b is None or n <= 2048:
+    if n <= 2048:
         return W.T @ W
+    b = block if block is not None else _pick_block(n)
+    if b is None:
+        npad = ((n + _PAD_BLOCK - 1) // _PAD_BLOCK) * _PAD_BLOCK
+        return blocked_lauum(_pad_identity_tail(W, npad))[:n, :n]
     S = n // b
     strips = []
     for i in range(S):

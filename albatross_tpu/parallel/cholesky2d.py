@@ -332,7 +332,7 @@ def _tri_inverse_2d_local(L_local, *, br, bc, R, row_axis, col_axis):
     """
     i = jax.lax.axis_index(row_axis)
     j = jax.lax.axis_index(col_axis)
-    n = br * R
+    # (global n = br * R; all shapes below are per-tile)
 
     # my device row's diagonal-block inverse W_ii (identical across the row):
     # gather the (br, br) block at global cols [i·br, (i+1)·br) from the
@@ -375,6 +375,8 @@ def distributed_tri_inverse_2d(L, mesh, row_axis="data", col_axis="model"):
     """W = L⁻¹ with both L and W tile-sharded over the 2-D mesh."""
     R, C = mesh.shape[row_axis], mesh.shape[col_axis]
     n = L.shape[0]
+    if n % R != 0 or n % C != 0:
+        raise ValueError(f"N={n} not divisible by mesh axes ({R}, {C})")
     br, bc = n // R, n // C
     fn = jax.shard_map(
         functools.partial(

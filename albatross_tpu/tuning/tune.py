@@ -18,6 +18,7 @@ reference's ostream logging (tune.hpp:102-110).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -102,6 +103,7 @@ class GenericTuner:
         learning_rate: float = 0.05,
         tolerance: float = 1e-9,
         log_fn: Optional[Callable[[int, np.ndarray, float], None]] = None,
+        sync_every: int = 10,
     ):
         self.tunable = tunable
         self.optimizer = optimizer
@@ -109,6 +111,13 @@ class GenericTuner:
         self.learning_rate = learning_rate
         self.tolerance = tolerance
         self.log_fn = log_fn
+        # gradient path: optimizer steps per host synchronization — K steps
+        # run inside ONE jitted lax.scan, so on the tunneled TPU (~28 ms RTT
+        # per sync) the loop costs max_iterations/K round trips instead of
+        # max_iterations.  Per-iteration history/log_fn fidelity is kept:
+        # the scan stacks every step's (value, x) and they are replayed on
+        # the host after each chunk.
+        self.sync_every = max(1, int(sync_every))
 
     def tune(self, objective: Callable) -> TuningResult:
         lower = jnp.asarray(self.tunable.lower_bounds)
@@ -136,12 +145,13 @@ class GenericTuner:
         def obj_u(u):
             return objective(constrain(u))
 
-        value_and_grad = jax.jit(jax.value_and_grad(obj_u))
+        value_and_grad = jax.value_and_grad(obj_u)
+        use_adam = self.optimizer == "adam"
 
-        @jax.jit
-        def step(u, opt_state):
+        def one_step(carry, _):
+            u, opt_state = carry
             value, grad = value_and_grad(u)
-            if self.optimizer == "adam":
+            if use_adam:
                 updates, opt_state = opt.update(grad, opt_state, u)
             else:
                 updates, opt_state = opt.update(
@@ -152,28 +162,49 @@ class GenericTuner:
                     grad=grad,
                     value_fn=obj_u,
                 )
-            return optax.apply_updates(u, updates), opt_state, value
+            u_next = optax.apply_updates(u, updates)
+            # value is f(u) BEFORE the step; x logged is the post-step point
+            # (same pairing as the former python loop)
+            return (u_next, opt_state), (value, constrain(u_next))
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def run_chunk(u, opt_state, k):
+            # ONE compile per tune(); every subsequent chunk reuses it.
+            (u, opt_state), (values, xs) = jax.lax.scan(
+                one_step, (u, opt_state), None, length=k
+            )
+            return u, opt_state, values, xs
 
         u = unconstrain(x0)
         opt_state = opt.init(u)
         history: List[float] = []
-        best_u, best_v = u, np.inf
-        for i in range(self.max_iterations):
-            u, opt_state, value = step(u, opt_state)
-            v = float(value)
-            history.append(v)
-            if self.log_fn:
-                self.log_fn(i, np.asarray(constrain(u)), v)
-            if v < best_v:
-                best_v, best_u = v, u
-            if i > 5 and abs(history[-2] - v) < self.tolerance * (1 + abs(v)):
-                break
+        best_x, best_v = np.asarray(x0), np.inf
+        done = 0
+        converged = False
+        while done < self.max_iterations and not converged:
+            k = min(self.sync_every, self.max_iterations - done)
+            u, opt_state, values, xs = run_chunk(u, opt_state, k)
+            values = np.asarray(values)  # the chunk's single host sync
+            xs = np.asarray(xs)
+            for j in range(k):
+                i = done + j
+                v = float(values[j])
+                history.append(v)
+                if self.log_fn:
+                    self.log_fn(i, xs[j], v)
+                if v < best_v:
+                    best_v, best_x = v, xs[j]
+                if (
+                    i > 5
+                    and abs(history[-2] - v) < self.tolerance * (1 + abs(v))
+                ):
+                    converged = True
+                    break
+            done += k
         final_v = float(obj_u(u))
         if final_v < best_v:
-            best_v, best_u = final_v, u
-        return TuningResult(
-            None, best_v, np.asarray(constrain(best_u)), history
-        )
+            best_v, best_x = final_v, np.asarray(constrain(u))
+        return TuningResult(None, best_v, best_x, history)
 
     # -- simplex path (SBPLX analog) ----------------------------------------
     def _nelder_mead(self, objective, x0, lower, upper) -> TuningResult:

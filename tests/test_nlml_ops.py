@@ -12,8 +12,11 @@ from albatross_tpu.ops.nlml import (
 )
 
 
-@pytest.mark.parametrize("n", [300, 2304])
+@pytest.mark.parametrize("n", [300, 2304, 2113])
 def test_potri_primitives(rng, n):
+    """n=2113: >2048 and divisible by no block candidate — exercises the
+    identity-tail pad-and-mask path, so non-divisible N keeps the GEMM
+    (compile-memory-safe) route instead of dense substitution."""
     A = rng.standard_normal((n, n))
     K = A @ A.T + n * np.eye(n)
     L = np.linalg.cholesky(K)
