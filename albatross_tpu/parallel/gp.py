@@ -141,6 +141,7 @@ class DistributedGaussianProcess(GaussianProcess):
         mean=None,
         axis: str = "data",
         col_axis: Optional[str] = None,
+        panel: Optional[int] = None,
         **kw,
     ):
         super().__init__(covariance, mean, **kw)
@@ -149,6 +150,10 @@ class DistributedGaussianProcess(GaussianProcess):
         # col_axis selects the 2-D tile-sharded layout (N²/(R·C) bytes per
         # device); default (None) keeps the 1-D row-panel layout.
         self.col_axis = col_axis
+        # panel width for the 2-D factorization: the per-device transient is
+        # O(N·panel), so capping it trades collective rounds for memory
+        # (None = cholesky2d._default_panel, up to the tile width).
+        self.panel = panel
 
     def _sharded_factorize(self, features, target_variance):
         """Gram + Cholesky in the mesh layout this model was built with."""
@@ -176,7 +181,9 @@ class DistributedGaussianProcess(GaussianProcess):
         )
         if self.jitter:
             K = K + self.jitter * jnp.eye(K.shape[0], dtype=K.dtype)
-        L = distributed_cholesky_2d(K, self.mesh, self.axis, self.col_axis)
+        L = distributed_cholesky_2d(
+            K, self.mesh, self.axis, self.col_axis, panel=self.panel
+        )
         return DistributedCholesky2D(L, self.mesh, self.axis, self.col_axis)
 
     def _fit_impl(self, features, targets: MarginalDistribution) -> GPFit:
