@@ -608,3 +608,53 @@ def test_2d_wsolve_round_complexity(mesh2d, rng):
     assert rounds["inverse", 64] == rounds["inverse", 192]
     assert rounds["substitution", 64] == rounds["substitution", 192]
     assert rounds["inverse", 64] < rounds["substitution", 64], rounds
+
+
+def test_distributed_update_matches_refit(mesh, mesh2d, rng):
+    """Online update on a distributed fit (gp.hpp:384-414 semantics): the
+    BlockSymmetric wraps the sharded factor — its A-solves stay distributed
+    (Ai_B comes back row-sharded, never gathered dense) — and the updated
+    predictions equal a full single-chip refit on the concatenated data."""
+    from albatross_tpu.parallel.gp import DistributedGaussianProcess
+
+    n1, n2, m = 64, 16, 40
+    x1 = jnp.asarray(np.sort(rng.uniform(0, 10, n1)))
+    x2 = jnp.asarray(np.sort(rng.uniform(0, 10, n2)))
+    y1, y2 = jnp.sin(x1), jnp.sin(x2)
+    d1 = RegressionDataset.create(x1, y1, variance=jnp.full((n1,), 0.01))
+    d2 = RegressionDataset.create(x2, y2, variance=jnp.full((n2,), 0.01))
+    kernel = SquaredExponential(1.5, 1.0) + IndependentNoise(0.1)
+    xs = jnp.linspace(0, 10, m)
+
+    xall = jnp.concatenate([x1, x2])
+    dall = RegressionDataset.create(
+        xall,
+        jnp.concatenate([y1, y2]),
+        variance=jnp.full((n1 + n2,), 0.01),
+    )
+    ref = gp_from_covariance(kernel).fit(dall).predict(xs).marginal()
+
+    for layout in (dict(axis="data"), dict(axis="data", col_axis="model")):
+        model = DistributedGaussianProcess(kernel, mesh2d, **layout)
+        updated = model.fit(d1).update(d2)
+        # the old-block solve result must still be row-sharded on the mesh
+        ai_b = updated.fit.train_covariance.Ai_B
+        assert ai_b.sharding.shard_shape(ai_b.shape)[0] < n1, (
+            "Ai_B gathered dense — update dropped to host math"
+        )
+        got = updated.predict(xs).marginal()
+        np.testing.assert_allclose(
+            np.asarray(got.mean), np.asarray(ref.mean), rtol=1e-10, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.variance), np.asarray(ref.variance),
+            rtol=1e-9, atol=1e-12,
+        )
+        # second incremental update (BlockSymmetric nested as A) still works
+        d3 = RegressionDataset.create(
+            xs[:8], jnp.sin(xs[:8]), variance=jnp.full((8,), 0.01)
+        )
+        twice = updated.update(d3)
+        assert bool(
+            jnp.all(jnp.isfinite(twice.predict(xs).marginal().mean))
+        )
