@@ -29,6 +29,14 @@ PALLAS_GRAM_AUTO_MIN_D: int = 9
 # CLAUDE.md).  Read by CholeskyFactor._factor_core.
 CHOLESKY_PRECISION: str | None = None
 
+# NLML accuracy mode (ops/compensated.py): double-word (two-float)
+# reductions for the log-det and whiten sums plus ONE iterative-refinement
+# step on the quadratic term — attacks the f32 solve/reduction error floor
+# (2.8e-4 rel at N=8192, CLAUDE.md #3) without f64 hardware.  Costs one
+# extra HIGHEST-precision mat-vec + two triangular solves (O(N²)) per NLML.
+# Read by GaussianProcess.log_likelihood.
+NLML_COMPENSATED: bool = False
+
 
 def pallas_gram_enabled(n_elements: int, dtype, d: int = 1) -> bool:
     if USE_PALLAS_GRAM is False:

@@ -279,7 +279,22 @@ class GaussianProcess(ModelBase):
         )
         cov, fused = self._training_covariance(measurements, None)
         jitter = 0.0 if fused else self.jitter
-        if self.safe_factorization:
+        from .. import config
+
+        if config.NLML_COMPENSATED and not self.safe_factorization:
+            # accuracy mode: double-word reductions + one refinement step on
+            # the quadratic term (ops/compensated.py) — K passed alongside
+            # the factor so the residual sees exactly what was factorized
+            from ..ops.compensated import compensated_nll
+
+            chol = self._factorize(cov, jitter_applied=fused)
+            K_eff = (
+                cov
+                if not jitter
+                else cov + jitter * jnp.eye(cov.shape[0], dtype=cov.dtype)
+            )
+            ll = -compensated_nll(chol, K_eff, zero_mean)
+        elif self.safe_factorization:
             chol = self._factorize(cov, jitter_applied=fused)
             ll = -negative_log_likelihood(zero_mean, chol)
         else:

@@ -1,0 +1,196 @@
+"""Double-word (two-float) compensated arithmetic for f32-only hardware.
+
+TPU has no f64 (the MXU accumulates in f32), so 1e-6-relative NLML parity
+with the reference's Eigen f64 LDLT (serializable_ldlt.hpp:19-80) cannot
+come from a wider dtype.  This module supplies the classical error-free
+transformations (Knuth two_sum, Dekker/Veltkamp two_prod) and builds the
+three pieces the NLML accuracy study (CLAUDE.md #3) identified as the f32
+error floor:
+
+* ``dw_sum``     — pairwise double-word reduction (eps²-accurate sums);
+* ``dot2``       — Ogita–Rump–Oishi compensated dot product;
+* ``compensated_nll`` — the NLML with (a) the quadratic term yᵀK⁻¹y
+  refined by ONE iterative-refinement step (residual at matmul
+  precision=HIGHEST — forward error drops from κ·eps to ~c·eps, Higham
+  ASNA² §12), (b) the log-det sum and all reductions in double-word, and
+  (c) the final term combination in double-word (the three O(N)-magnitude
+  terms partially cancel).
+
+Everything is pure elementwise/log-depth XLA — no scans, no dynamic
+shapes; the extra cost is O(N²) (one HIGHEST-precision mat-vec + two
+triangular solves) on top of the O(N³) pipeline.
+
+Numerical contract of the primitives (valid when no overflow occurs):
+    two_sum:  a + b = s + e exactly;
+    two_prod: a * b = p + e exactly (Veltkamp split, no FMA needed —
+              XLA does not expose one portably).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def two_sum(a, b):
+    """Error-free sum: returns (s, e) with a + b = s + e exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _splitter(dtype):
+    # 2^ceil(p/2) + 1 for a p-bit mantissa: f32 p=24 -> 4097, f64 p=53.
+    if dtype == jnp.float64:
+        return 134217729.0
+    return 4097.0
+
+
+def veltkamp_split(a):
+    """a = hi + lo with hi, lo representable in half the mantissa."""
+    c = _splitter(a.dtype) * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free product: returns (p, e) with a * b = p + e exactly."""
+    p = a * b
+    ah, al = veltkamp_split(a)
+    bh, bl = veltkamp_split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def dw_add(xh, xl, yh, yl):
+    """Double-word + double-word (accurate variant)."""
+    sh, sl = two_sum(xh, yh)
+    th, tl = two_sum(xl, yl)
+    c = sl + th
+    vh, vl = two_sum(sh, c)
+    w = tl + vl
+    zh, zl = two_sum(vh, w)
+    return zh, zl
+
+
+def dw_sum(hi, lo=None, axis: int = -1):
+    """Pairwise double-word sum along ``axis``: returns scalar-per-slice
+    (hi, lo).  Log-depth tree of vectorized two_sums — error O(eps²)."""
+    hi = jnp.moveaxis(jnp.asarray(hi), axis, -1)
+    if lo is None:
+        lo = jnp.zeros_like(hi)
+    else:
+        lo = jnp.moveaxis(jnp.asarray(lo), axis, -1)
+    n = hi.shape[-1]
+    # pad once to the next power of two (zeros are exact under two_sum)
+    npad = 1 << max(0, math.ceil(math.log2(n))) if n > 1 else 1
+    if npad != n:
+        pad = [(0, 0)] * (hi.ndim - 1) + [(0, npad - n)]
+        hi = jnp.pad(hi, pad)
+        lo = jnp.pad(lo, pad)
+        n = npad
+    while n > 1:
+        half = n // 2
+        s, e = two_sum(hi[..., :half], hi[..., half:])
+        lo = lo[..., :half] + lo[..., half:] + e
+        hi = s
+        n = half
+    return hi[..., 0], lo[..., 0]
+
+
+def dot2(x, y):
+    """Compensated dot product (Ogita–Rump–Oishi Dot2): error ~ eps +
+    cond·eps², i.e. f64-quality for f32 inputs.  Returns (hi, lo)."""
+    p, e = two_prod(x, y)
+    return dw_sum(p, e)
+
+
+def dw_log_determinant(L) -> tuple[jax.Array, jax.Array]:
+    """2 Σ log diag(L) with the reduction in double-word.
+
+    Each log carries its own ~1-ulp error (irreducible without a
+    double-word log); the compensation removes the O(√N·eps) summation
+    error on top."""
+    logs = jnp.log(jnp.diagonal(L))
+    h, l = dw_sum(logs)
+    return 2.0 * h, 2.0 * l
+
+
+def dw_matvec(K, v, chunk: int = 1024) -> tuple[jax.Array, jax.Array]:
+    """K @ v with error-free elementwise products and double-word row sums
+    — the f32 analog of an f64 mat-vec (error O(eps²·cond)).
+
+    Rows are processed in ``chunk``-sized blocks under lax.map so the
+    splitting temporaries stay O(chunk·N) instead of O(N²)."""
+    n = K.shape[0]
+    if n % chunk != 0:
+        chunk = n  # single block; fine for the sizes where n is odd-shaped
+
+    def block(Kb):
+        p, e = two_prod(Kb, v[None, :])
+        return dw_sum(p, e, axis=1)
+
+    if chunk == n:
+        return block(K)
+    hh, hl = jax.lax.map(block, K.reshape(n // chunk, chunk, n))
+    return hh.reshape(n), hl.reshape(n)
+
+
+def refined_quadratic(
+    chol, K, y, refine_steps: int = 2
+) -> tuple[jax.Array, jax.Array]:
+    """yᵀK⁻¹y as a double word, via iterative refinement with a
+    DOUBLE-WORD residual.
+
+    α = fl(K⁻¹y) carries forward error ~ κ(K)·eps.  A residual computed in
+    working precision is pure noise once ‖r‖ ~ eps·‖K‖‖α‖ (measured: rel
+    error ≥ 1 at N=4096) — refinement only converges when r = y − Kα is
+    formed beyond working precision, so the mat-vec runs through dw_matvec
+    (error-free products + compensated row sums).  Each step contracts the
+    forward error by ~κ·eps; two steps take κ ≤ 1e5 from κ·eps ≈ 5e-3 to
+    ≈ 1e-7 relative.  The final dot products are compensated (dot2) so the
+    reduction adds nothing on top."""
+    alpha = chol.solve(y)
+    qh, ql = dot2(y, alpha)
+    corr = jnp.zeros_like(qh)
+    for _ in range(refine_steps):
+        kh, kl = dw_matvec(K, alpha)
+        rh, re = two_sum(y, -kh)
+        r = rh + (re - kl)  # single word suffices: δ needs leading bits only
+        delta = chol.solve(r)
+        alpha = alpha + delta
+        # q += yᵀδ: the update is O(κ·eps)·q, so a plain f32 dot of the
+        # small correction suffices
+        corr = corr + jnp.dot(y, delta)
+    return two_sum(qh, ql + corr)
+
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+def compensated_nll(chol, K, y) -> jax.Array:
+    """½(log|K| + yᵀK⁻¹y + n log 2π) with double-word internals.
+
+    ``K`` must be the exact matrix that was factorized into ``chol``
+    (including any jitter / target variance on the diagonal).  The three
+    O(N)-magnitude terms are combined in double-word before the final
+    rounding so their cancellation does not reintroduce f32 error.
+    """
+    import numpy as np
+
+    n = y.shape[0]
+    ldh, ldl = dw_log_determinant(chol.L)
+    qh, ql = refined_quadratic(chol, K, y)
+    # n·log2π in double-word, split statically (n and the constant are
+    # python-level, so no precision is lost before the dw combine)
+    dtype = y.dtype
+    np_dtype = np.float32 if dtype == jnp.float32 else np.float64
+    prod = float(n) * LOG_2PI  # exact in python f64 for any realistic n
+    nh = float(np_dtype(prod))
+    nl = prod - nh
+    sh, sl = dw_add(ldh, ldl, qh, ql)
+    sh, sl = dw_add(sh, sl, jnp.asarray(nh, dtype), jnp.asarray(nl, dtype))
+    return 0.5 * (sh + sl)

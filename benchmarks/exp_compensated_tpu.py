@@ -1,0 +1,131 @@
+"""TPU experiment: compensated (double-word) NLML error ladder vs f64 oracle.
+
+Round-3 follow-up to the CLAUDE.md #3 accuracy study: the f32 end-to-end
+NLML error at N=8192 was 2.8e-4 relative, dominated by the f32
+solve/reduction error, and TPU has no f64 to fix it with.  This measures
+whether ops/compensated.py (dw reductions + refined quadratic) closes the
+gap ON CHIP, where the MXU matmuls are bf16-passes rather than true f32.
+
+Protocol (oracle on the SAME matrix the device factorizes):
+  1. build K32, y32 on device through the library's gram path;
+  2. download them once; compute the f64 oracle NLML on host numpy;
+  3. on device: plain f32 NLML, compensated NLML (default chol),
+     compensated NLML with CHOLESKY_PRECISION='high' (isolates whether the
+     residual factorization error is the next floor);
+  4. EFT canary: jit dot2 vs host f64 — records whether the TPU backend's
+     codegen preserves error-free transformations (XLA:CPU does NOT — its
+     fusion fast-math breaks them; see tests/test_compensated.py).
+
+Run ON TPU (single process!).  N via ALBATROSS_EXP_N (default 8192).
+"""
+
+import json
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import albatross_tpu as ab
+from albatross_tpu import config
+from albatross_tpu.kernels import as_measurement
+from albatross_tpu.ops.compensated import compensated_nll, dot2
+from albatross_tpu.ops.linalg import CholeskyFactor
+
+N = int(os.environ.get("ALBATROSS_EXP_N", "8192"))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, N)), dtype=jnp.float32)
+    y32 = jnp.sin(0.3 * x) + 0.1 * jnp.asarray(
+        rng.standard_normal(N), dtype=jnp.float32
+    )
+    kernel = ab.SquaredExponential(5.0, 1.0) + ab.measurement_only(
+        ab.IndependentNoise(0.03, assume_unique=True)
+    )
+    K32 = jax.jit(lambda x: kernel(as_measurement(x)))(x)
+    float(K32[0, 0])  # sync
+
+    # ---- EFT canary --------------------------------------------------------
+    v = jnp.asarray(rng.standard_normal(4096) * 1e3, dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal(4096), dtype=jnp.float32)
+    h, l = jax.jit(dot2)(v, w)
+    exact_dot = np.asarray(v, np.float64) @ np.asarray(w, np.float64)
+    canary = abs((float(h) + float(l)) - exact_dot) / abs(exact_dot)
+    plain_dot = abs(float(jnp.dot(v, w)) - exact_dot) / abs(exact_dot)
+    print(json.dumps({"metric": "eft_canary_jit_dot2_rel", "value": canary,
+                      "unit": f"plain f32 dot rel={plain_dot:.3e}"}))
+
+    # ---- oracle ------------------------------------------------------------
+    K64 = np.asarray(K32, np.float64)
+    y64 = np.asarray(y32, np.float64)
+    L64 = np.linalg.cholesky(K64)
+    w64 = np.linalg.solve(L64, y64)
+    nll64 = 0.5 * (
+        2.0 * np.sum(np.log(np.diag(L64)))
+        + w64 @ w64
+        + N * math.log(2.0 * math.pi)
+    )
+    kappa_proxy = float(np.max(np.diag(K64)) / np.min(np.linalg.eigvalsh(
+        K64[:512, :512])))  # cheap local conditioning proxy
+    print(json.dumps({"metric": "oracle_nll", "value": nll64,
+                      "unit": f"kappa_proxy~{kappa_proxy:.2e}"}))
+
+    # ---- device ladder -----------------------------------------------------
+    @jax.jit
+    def plain_nll(K, y):
+        chol, white = CholeskyFactor.factorize_whiten(
+            K, y, assume_symmetric=True
+        )
+        return 0.5 * (
+            chol.log_determinant()
+            + jnp.sum(white * white)
+            + N * math.log(2.0 * math.pi)
+        )
+
+    @jax.jit
+    def comp_nll(K, y):
+        chol = CholeskyFactor.factorize(K, assume_symmetric=True)
+        return compensated_nll(chol, K, y)
+
+    def run(tag, fn):
+        t0 = time.perf_counter()
+        val = float(fn(K32, y32))
+        dt = time.perf_counter() - t0  # includes compile on first call
+        val = float(fn(K32, y32))
+        t0 = time.perf_counter()
+        val = float(fn(K32, y32))
+        dt = time.perf_counter() - t0
+        rel = abs(val - nll64) / abs(nll64)
+        print(json.dumps({
+            "metric": f"nll_rel_err_{tag}_n{N}",
+            "value": rel,
+            "unit": f"vs f64 oracle; {dt * 1e3:.0f} ms/eval",
+        }), flush=True)
+        return rel
+
+    rel_plain = run("plain_f32", plain_nll)
+    rel_comp = run("compensated", comp_nll)
+    try:
+        config.CHOLESKY_PRECISION = "high"
+
+        @jax.jit
+        def comp_high(K, y):
+            chol = CholeskyFactor.factorize(K, assume_symmetric=True)
+            return compensated_nll(chol, K, y)
+
+        rel_comp_high = run("compensated_cholhigh", comp_high)
+    finally:
+        config.CHOLESKY_PRECISION = None
+    print(json.dumps({
+        "metric": "compensated_improvement",
+        "value": rel_plain / max(rel_comp, 1e-16),
+        "unit": f"x better; high-prec chol variant rel={rel_comp_high:.3e}",
+    }))
+
+
+if __name__ == "__main__":
+    main()
