@@ -208,6 +208,13 @@ class SparseGaussianProcessRegression(ModelBase):
             return self._replace(inducing_nugget=param)
         return super()._replace_param(name, param)
 
+    def _cross_covariance(self, measurements, inducing_features):
+        """K_fu assembly hook — the distributed subclass
+        (parallel/sparse.py) overrides this with row-sharded panels."""
+        return self.covariance_function.matrix_or_none(
+            measurements, inducing_features
+        )
+
     # -- internal components (sparse_gp.hpp:631-706) -------------------------
     def _compute_internal_components(self, inducing_features, features, targets):
         """Returns (A_chol, K_uu_chol, K_fu, y_raw, y_zero_mean, order).
@@ -225,9 +232,7 @@ class SparseGaussianProcessRegression(ModelBase):
             targets.variance[order_j] if targets.variance is not None else None
         )
 
-        K_fu = self.covariance_function.matrix_or_none(
-            measurements, inducing_features
-        )
+        K_fu = self._cross_covariance(measurements, inducing_features)
         K_uu = self.covariance_function(inducing_features)
         K_uu = K_uu + self.inducing_nugget.value * jnp.eye(
             K_uu.shape[0], dtype=K_uu.dtype

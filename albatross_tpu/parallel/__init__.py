@@ -23,5 +23,10 @@ from .gp import (
 )
 from .gram import sharded_cross_gram, sharded_gram, sharded_gram_2d
 from .mesh import make_mesh, pad_to_multiple, replicated, row_sharded, vector_sharded
+from .sparse import (
+    DistributedSparseGaussianProcessRegression,
+    distributed_sparse_gp_from_covariance,
+    distributed_tall_qr,
+)
 
 __all__ = [k for k in dir() if not k.startswith("_")]
