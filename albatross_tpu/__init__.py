@@ -46,6 +46,7 @@ from .kernels import (
     ForTag,
     TaggedBatch,
     Constant,
+    ConstantTerm,
     EuclideanDistance,
     Exponential,
     IndependentNoise,

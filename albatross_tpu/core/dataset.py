@@ -98,6 +98,15 @@ def _subset_tagged(batch, indices):
 
 
 def concatenate_features(feature_list: Sequence[Features]) -> Features:
+    # TaggedBatch (variant) features concatenate tag-wise, preserving the
+    # interleaved order — required for online updates that mix feature
+    # kinds (reference: concatenate.hpp variant promotion).
+    if feature_list and all(
+        type(f).__name__ == "TaggedBatch" for f in feature_list
+    ):
+        from ..kernels.variants import TaggedBatch
+
+        return TaggedBatch.concatenate(list(feature_list))
     return jax.tree_util.tree_map(
         lambda *leaves: jnp.concatenate(leaves, axis=0), *feature_list
     )

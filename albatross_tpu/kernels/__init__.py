@@ -26,7 +26,7 @@ from .means import (
 )
 from .measurement import MeasurementOnly, measurement_only
 from .noise import IndependentNoise, Nugget
-from .polynomials import Constant, Polynomial
+from .polynomials import Constant, ConstantTerm, Polynomial
 from .radial import (
     Exponential,
     Matern32,

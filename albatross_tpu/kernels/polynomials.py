@@ -6,6 +6,9 @@ TPU-native re-design of
 
 from __future__ import annotations
 
+import dataclasses
+
+import jax
 import jax.numpy as jnp
 
 from ..core.parameters import Parameter, map_join
@@ -14,6 +17,36 @@ from .base import CovarianceFunction
 from .distances import as_matrix
 
 DEFAULT_SIGMA = 100.0
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ConstantTerm:
+    """State-space marker feature of the Constant kernel
+    (polynomials.hpp ConstantTerm): a batch of latent "global constant"
+    features.  Covariance against anything through ``Constant`` is sigma²;
+    every other kernel should treat it as undefined — the marker leaf is
+    NaN so accidental value-based use (equality noise, distances) can never
+    silently match a real feature.
+
+    Used to infer the constant's latent value:
+    ``fit_model.predict(ConstantTerm())`` (test_scaling_function.cc:144-148
+    predicts at constant.get_state_space_representation(features))."""
+
+    marker: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.full((1,), jnp.nan)
+    )
+
+    def tree_flatten(self):
+        return (self.marker,), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(children[0])
+
+    @property
+    def size(self) -> int:
+        return self.marker.shape[0]
 
 
 class Constant(CovarianceFunction):

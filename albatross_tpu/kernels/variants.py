@@ -74,6 +74,37 @@ class TaggedBatch:
             raise ValueError("features_by_tag does not cover every tag value")
         return cls(tags, tuple(features_by_tag[t] for t in tags), tuple(order))
 
+    @classmethod
+    def concatenate(cls, batches: Sequence["TaggedBatch"]) -> "TaggedBatch":
+        """Row-concatenate tagged batches, preserving interleaved order —
+        the analog of the reference's variant-vector concatenation
+        (core/concatenate.hpp), which is what lets an online update mix
+        feature kinds (gp.hpp:384-414 with variant features)."""
+        all_tags = tuple(sorted(set().union(*(set(b.tags) for b in batches))))
+        feats: Dict[int, list] = {t: [] for t in all_tags}
+        orders: Dict[int, list] = {t: [] for t in all_tags}
+        offset = 0
+        for b in batches:
+            start = 0
+            for t, f in zip(b.tags, b.features):
+                n = jax.tree_util.tree_leaves(f)[0].shape[0]
+                feats[t].append(f)
+                orders[t].extend(offset + p for p in b.order[start : start + n])
+                start += n
+            offset += b.size
+        merged_feats = []
+        for t in all_tags:
+            parts = feats[t]
+            merged_feats.append(
+                parts[0]
+                if len(parts) == 1
+                else jax.tree_util.tree_map(
+                    lambda *ls: jnp.concatenate(ls, axis=0), *parts
+                )
+            )
+        order = tuple(p for t in all_tags for p in orders[t])
+        return cls(all_tags, tuple(merged_feats), order)
+
 
 class ForTag(CovarianceFunction):
     """Restrict a kernel term to specific variant tags."""

@@ -255,12 +255,17 @@ class GaussianProcess(ModelBase):
 
     # -- rebuild from an external prediction (gp.hpp:115-153, 236-245) -------
     def fit_from_prediction(self, features, prediction: JointDistribution):
+        # the mean function must be removed from the prediction before
+        # building the new fit, or it gets double counted when predictions
+        # add it back (gp.hpp:238-240; regression test
+        # test_gp.cc:344-371 — caught by the round-3 transcription)
+        zero_mean = self.mean_function.remove_from(features, prediction.mean)
         prior = self.covariance_function(features)
         prior_chol = CholeskyFactor.factorize(prior, jitter=self.jitter)
         fit = GPFit(
             features,
             ExplainedCovariance(prior, prior - prediction.covariance),
-            prior_chol.solve(prediction.mean),
+            prior_chol.solve(zero_mean),
         )
         return FitModel(self, fit)
 

@@ -1,0 +1,770 @@
+"""Reference-output parity, round 3: transcriptions of three more suites.
+
+Same protocol as tests/test_reference_parity.py — reference data generators
+reproduced bit-identically via the libstdc++ mt19937 twin, same model
+configurations, same assertions and tolerances — extending coverage to:
+
+* test_scaling_function.cc:57-209  (obliquity attenuation: CV predicts,
+  latent-constant inference via the state-space marker, product-with-
+  undefined-side operations)
+* test_ransac.cc:21-192            (direct consensus/outliers, ransac model
+  == direct consensus fit + CV-NLL split, grouped ransac, edge-case return
+  codes)
+* test_gp.cc:161-530               (update == full refit on the unobservable
+  model, cross-type update with variant inducing features, rebase via
+  fit_from_prediction at low rank, mean-function rebase regression test,
+  nonzero-mean predictions, prior, linear-combination sum/diff constraints)
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from albatross_tpu import (
+    Constant,
+    ConstantTerm,
+    IndependentNoise,
+    RegressionDataset,
+    SquaredExponential,
+    TaggedBatch,
+    gp_from_covariance,
+    gp_from_covariance_and_mean,
+    measurement_only,
+)
+from albatross_tpu.core.distributions import (
+    JointDistribution,
+    MarginalDistribution,
+)
+from albatross_tpu.evaluation.metrics import (
+    NegativeLogLikelihood,
+    RootMeanSquareError,
+)
+from albatross_tpu.evaluation.model_metrics import LeaveOneOutLikelihood
+from albatross_tpu.indexing import LeaveOneOutGrouper, group_by
+from albatross_tpu.kernels import ScalingFunction, ScalingTerm
+from albatross_tpu.kernels.base import CovarianceFunction
+from albatross_tpu.models.ransac import (
+    GenericRansacStrategy,
+    RansacConfig,
+    RansacReturnCode,
+    ransac,
+    ransac_success,
+)
+
+from reference_rng import LibstdcppMt19937Normal, make_toy_linear_data
+
+
+# ---------------------------------------------------------------------------
+# test_scaling_function.cc
+# ---------------------------------------------------------------------------
+def obliquity_function(x):
+    """test_scaling_function.cc:57."""
+    return 1.0 / jnp.cos(jnp.arctan(x - 1.0))
+
+
+class ObliquityScaling(ScalingFunction):
+    """test_scaling_function.cc:59-66; undefined for the constant's
+    state-space marker (the reference's _call_impl takes doubles only)."""
+
+    @property
+    def name(self):
+        return "obliquity_scaling"
+
+    def _scale(self, X):
+        if isinstance(X, ConstantTerm):
+            return None
+        return obliquity_function(jnp.asarray(X))
+
+
+def make_attenuation_data(attenuation=3.14159, sigma_noise=0.01):
+    """test_scaling_function.cc:68-87 with the bit-identical seed-3 noise
+    stream (std::normal_distribution<>{0., 0.01} after gen.seed(3))."""
+    d = LibstdcppMt19937Normal(3, 0.0, sigma_noise)
+    n = 10
+    x = np.array([i * (2.0 / n) for i in range(n)])
+    y = np.asarray(obliquity_function(jnp.asarray(x))) * attenuation + d.draws(n)
+    return RegressionDataset.create(jnp.asarray(x), jnp.asarray(y))
+
+
+def scaling_covariance(constant_sigma, noise_sigma):
+    """constant * scaling + noise (test_scaling_function.cc:107)."""
+    return Constant(constant_sigma) * ScalingTerm(
+        ObliquityScaling()
+    ) + IndependentNoise(noise_sigma)
+
+
+def test_scaling_predicts():
+    """test_scaling_function.cc:93-115: LOO CV RMSE mean <= 0.01."""
+    model = gp_from_covariance(scaling_covariance(10.0, 0.01))
+    dataset = make_attenuation_data()
+    scores = model.cross_validate().scores(
+        RootMeanSquareError(), dataset, LeaveOneOutGrouper()
+    )
+    assert float(jnp.mean(jnp.asarray(scores))) <= 0.01
+
+
+def test_scaling_inference():
+    """test_scaling_function.cc:122-149: predicting at the constant's
+    state-space representation recovers the attenuation despite only
+    scaled observations."""
+    attenuation, sigma = 3.14159, 0.01
+    model = gp_from_covariance(
+        scaling_covariance(2.0 * attenuation, sigma)
+    )
+    dataset = make_attenuation_data(attenuation, sigma)
+    state_estimate = model.fit(dataset).predict(ConstantTerm()).mean()
+    assert abs(float(state_estimate[0]) - attenuation) <= 1e-2
+
+
+class _ZeroCovariance(CovarianceFunction):
+    """test_scaling_function.cc:151-158."""
+
+    @property
+    def name(self):
+        return "zero"
+
+    def _matrix(self, X, Y, x_meas, y_meas):
+        import jax
+
+        n = jax.tree_util.tree_leaves(X)[0].shape[0]
+        m = jax.tree_util.tree_leaves(Y)[0].shape[0]
+        return jnp.zeros((n, m))
+
+
+def test_scaling_operations():
+    """test_scaling_function.cc:165-208: noise*scaling in both orders —
+    zero off-diagonal (a != b), positive at (a, a).  The reference's
+    struct-X/Y SFINAE cases test C++ template dispatch; the batch-level
+    analog of 'undefined type' is ConstantTerm (scale undefined) where the
+    product's defined side acts alone."""
+    sigma = 0.01
+    scaling = ScalingTerm(ObliquityScaling())
+    noise = IndependentNoise(sigma)
+    zero = _ZeroCovariance()
+    a = jnp.asarray([0.0])
+    b = jnp.asarray([1.0])
+
+    for cov in (noise * scaling + zero, scaling * noise + zero):
+        assert float(cov.matrix_or_none(a, b)[0, 0]) == 0.0
+        assert float(cov.matrix_or_none(a, a)[0, 0]) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# test_ransac.cc — MakeGaussianProcess on the seed-3 linear data
+# ---------------------------------------------------------------------------
+def make_simple_covariance_function():
+    return SquaredExponential(100.0, 100.0) + measurement_only(
+        IndependentNoise(0.1)
+    )
+
+
+def _gp_case_dataset(bad_inds=()):
+    x, y = make_toy_linear_data()
+    y = np.asarray(y).copy()
+    for i in bad_inds:
+        # test_ransac.cc:26-29: pow(-1, i) * 400
+        y[i] = ((-1.0) ** i) * 400.0
+    return RegressionDataset.create(jnp.asarray(x), jnp.asarray(y))
+
+
+def _loo_strategy():
+    return GenericRansacStrategy(
+        NegativeLogLikelihood(JointDistribution),
+        LeaveOneOutLikelihood(JointDistribution),
+        LeaveOneOutGrouper(),
+    )
+
+
+def test_ransac_direct():
+    """test_ransac.cc:21-57."""
+    bad_inds = [3, 5]
+    dataset = _gp_case_dataset(bad_inds)
+    model = gp_from_covariance(make_simple_covariance_function())
+    strategy = _loo_strategy()
+    indexer = strategy.get_indexer(dataset)
+    functions = strategy(model, dataset)
+    config = RansacConfig(
+        inlier_threshold=1.0,
+        random_sample_size=3,
+        min_consensus_size=3,
+        max_iterations=20,
+    )
+    result = ransac(functions, list(indexer.keys()), config)
+    consensus = result.best.consensus()
+    assert len(consensus) == dataset.size - len(bad_inds)
+    assert ransac_success(result.return_code)
+    assert not math.isnan(result.best.consensus_metric_value)
+    for i in bad_inds:
+        assert i not in consensus
+        assert i in result.best.outliers
+
+
+def test_ransac_model():
+    """test_ransac.cc:59-109: the ransac model's fit equals a direct fit on
+    the consensus subset, and cross-validated NLL separates outliers
+    (>= 1e4) from inliers (<= 1)."""
+    bad_inds = [3, 5]
+    dataset = _gp_case_dataset(bad_inds)
+    model = gp_from_covariance(make_simple_covariance_function())
+    strategy = _loo_strategy()
+    config = RansacConfig(
+        inlier_threshold=1.0,
+        random_sample_size=3,
+        min_consensus_size=3,
+        max_iterations=20,
+    )
+    ransac_model = model.ransac(strategy, config)
+    fit_model = ransac_model.fit(dataset)
+    pred = fit_model.predict(dataset.features).mean()
+
+    indexer = strategy.get_indexer(dataset)
+    functions = strategy(model, dataset)
+    result = ransac(functions, list(indexer.keys()), config)
+    from albatross_tpu.indexing.grouping import indices_from_groups
+
+    consensus_inds = indices_from_groups(indexer, result.best.consensus())
+    direct_pred = (
+        model.fit(dataset.subset(consensus_inds))
+        .predict(dataset.features)
+        .mean()
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(direct_pred), rtol=1e-12
+    )
+
+    nll = NegativeLogLikelihood(JointDistribution)
+    cv_nll = np.asarray(
+        ransac_model.cross_validate().scores(nll, dataset, indexer)
+    )
+    good_inds = [i for i in range(dataset.size) if i not in bad_inds]
+    assert cv_nll[bad_inds].min() >= 1e4
+    assert cv_nll[good_inds].max() <= 1.0
+
+
+def _group_by_modulo(features):
+    """test_ransac.cc:113-116: str(int(x) % 4) — keys not sorted in
+    feature order."""
+    return np.asarray([str(int(v) % 4) for v in np.asarray(features)])
+
+
+def test_ransac_groups():
+    """test_ransac.cc:118-136."""
+    dataset = _gp_case_dataset()
+    y = np.asarray(dataset.targets.mean).copy()
+    y[5] = -300.0
+    dataset = RegressionDataset.create(dataset.features, jnp.asarray(y))
+    model = gp_from_covariance(make_simple_covariance_function())
+    strategy = GenericRansacStrategy(
+        NegativeLogLikelihood(JointDistribution),
+        LeaveOneOutLikelihood(JointDistribution),
+        _group_by_modulo,
+    )
+    indexer = strategy.get_indexer(dataset)
+    functions = strategy(model, dataset)
+    config = RansacConfig(
+        inlier_threshold=0.0,
+        random_sample_size=1,
+        min_consensus_size=1,
+        max_iterations=20,
+    )
+    result = ransac(functions, list(indexer.keys()), config)
+    assert ransac_success(result.return_code)
+    assert len(result.best.consensus()) <= len(indexer)
+
+
+def _reasonable_config():
+    """test_ransac.cc:142-150."""
+    return dict(
+        inlier_threshold=1.0,
+        max_failed_candidates=0,
+        max_iterations=20,
+        min_consensus_size=2,
+        random_sample_size=1,
+    )
+
+
+def test_ransac_edge_cases():
+    """test_ransac.cc:152-192: return codes for degenerate configs."""
+    dataset = _gp_case_dataset()
+    model = gp_from_covariance(make_simple_covariance_function())
+    strategy = GenericRansacStrategy(
+        NegativeLogLikelihood(JointDistribution),
+        LeaveOneOutLikelihood(JointDistribution),
+        _group_by_modulo,
+    )
+    indexer = strategy.get_indexer(dataset)
+    functions = strategy(model, dataset)
+    groups = list(indexer.keys())
+
+    bad_inlier = RansacConfig(**{**_reasonable_config(), "inlier_threshold": -np.inf})
+    assert (
+        ransac(functions, groups, bad_inlier).return_code
+        == RansacReturnCode.NO_CONSENSUS
+    )
+
+    bad_consensus = RansacConfig(
+        **{**_reasonable_config(), "min_consensus_size": len(groups)}
+    )
+    assert (
+        ransac(functions, groups, bad_consensus).return_code
+        == RansacReturnCode.INVALID_ARGUMENTS
+    )
+
+    bad_sample = RansacConfig(
+        **{**_reasonable_config(), "random_sample_size": len(groups)}
+    )
+    assert (
+        ransac(functions, groups, bad_sample).return_code
+        == RansacReturnCode.INVALID_ARGUMENTS
+    )
+
+    bad_iters = RansacConfig(**{**_reasonable_config(), "max_iterations": 0})
+    assert (
+        ransac(functions, groups, bad_iters).return_code
+        == RansacReturnCode.INVALID_ARGUMENTS
+    )
+
+    functions.is_valid_candidate = lambda candidates: False
+    never_valid = RansacConfig(
+        **{**_reasonable_config(), "max_failed_candidates": 3}
+    )
+    assert (
+        ransac(functions, groups, never_valid).return_code
+        == RansacReturnCode.EXCEEDED_MAX_FAILED_CANDIDATES
+    )
+
+
+# ---------------------------------------------------------------------------
+# test_gp.cc — the unobservable model (ConstantEverywhere + PerInterval)
+# ---------------------------------------------------------------------------
+TAG_EVERYWHERE, TAG_INTERVAL, TAG_DOUBLE = 0, 1, 2
+
+
+def _lround(x):
+    """std::lround: round half away from zero (numpy rounds half-even)."""
+    x = jnp.asarray(x)
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+class ConstantEverywhereKernel(CovarianceFunction):
+    """test_gp.cc:68-95: variance for any (double|everywhere) pair,
+    undefined for per-interval features."""
+
+    variance = 10.0
+
+    @property
+    def name(self):
+        return "constant_everywhere"
+
+    def _matrix(self, X, Y, x_meas, y_meas):
+        import jax
+
+        n = jax.tree_util.tree_leaves(X)[0].shape[0]
+        m = jax.tree_util.tree_leaves(Y)[0].shape[0]
+        return jnp.full((n, m), self.variance)
+
+    def _tagged_matrix(self, X, Y, tx, ty, x_meas, y_meas):
+        if tx == TAG_INTERVAL or ty == TAG_INTERVAL:
+            return None
+        return self._matrix(X, Y, x_meas, y_meas)
+
+    def _tagged_diag(self, X, tx, x_meas):
+        if tx == TAG_INTERVAL:
+            return None
+        return self._diag(X, x_meas)
+
+
+class ConstantPerIntervalKernel(CovarianceFunction):
+    """test_gp.cc:97-133: variance iff the (rounded) interval locations
+    agree; undefined for the everywhere feature."""
+
+    variance = 5.0
+
+    @property
+    def name(self):
+        return "constant_per_interval"
+
+    def _loc(self, X, tag):
+        x = jnp.asarray(X)
+        return x if tag == TAG_INTERVAL else _lround(x)
+
+    def _matrix(self, X, Y, x_meas, y_meas):
+        lx, ly = self._loc(X, None), self._loc(Y, None)
+        return self.variance * (lx[:, None] == ly[None, :]).astype(float)
+
+    def _tagged_matrix(self, X, Y, tx, ty, x_meas, y_meas):
+        if tx == TAG_EVERYWHERE or ty == TAG_EVERYWHERE:
+            return None
+        lx, ly = self._loc(X, tx), self._loc(Y, ty)
+        return self.variance * (lx[:, None] == ly[None, :]).astype(float)
+
+    def _tagged_diag(self, X, tx, x_meas):
+        if tx == TAG_EVERYWHERE:
+            return None
+        return self._diag(X, x_meas)
+
+
+def make_unobservable_dataset():
+    """test_gp.cc:135-149 (not a test — generator): 10 features at 0.3 spacing, targets pi,
+    variance 0.1."""
+    k = 10
+    x = jnp.asarray([i * 0.3 for i in range(k)])
+    return RegressionDataset.create(
+        x, jnp.full((k,), 3.14159), variance=jnp.full((k,), 0.1)
+    )
+
+
+def unobservable_model():
+    return gp_from_covariance(
+        ConstantEverywhereKernel() + ConstantPerIntervalKernel(),
+        "unobservable",
+    )
+
+
+def create_inducing_points(features):
+    """test_gp.cc:50-66: one everywhere feature + one per integer interval
+    — a variant batch, here a TaggedBatch."""
+    x = np.asarray(features)
+    lo = int(np.floor(x.min() + 0.5))
+    hi = int(np.floor(x.max() + 0.5))
+    intervals = jnp.asarray(np.arange(lo, hi + 1, dtype=float))
+    tag_array = np.asarray(
+        [TAG_EVERYWHERE] + [TAG_INTERVAL] * intervals.shape[0]
+    )
+    return TaggedBatch.create(
+        tag_array,
+        {TAG_EVERYWHERE: jnp.zeros((1,)), TAG_INTERVAL: intervals},
+    )
+
+
+def test_gp_update_model_same_types():
+    """test_gp.cc:182-219: partial fit + update == full fit (1e-6), and
+    partial alone differs."""
+    dataset = make_unobservable_dataset()
+    train_inds = jnp.asarray([0, 1, 3, 4, 6, 7, 8, 9])
+    test_inds = jnp.asarray([2, 5])
+    train, test = dataset[train_inds], dataset[test_inds]
+    first = train[jnp.asarray([0, 1, 2, 3, 5, 7])]
+    second = train[jnp.asarray([4, 6])]
+
+    model = unobservable_model()
+    full_pred = model.fit(train).predict(test.features).joint()
+    first_model = model.fit(first)
+    split_model = first_model.update(second)
+    split_pred = split_model.predict(test.features).joint()
+
+    np.testing.assert_allclose(
+        np.asarray(split_pred.mean), np.asarray(full_pred.mean), rtol=1e-9
+    )
+    assert (
+        np.linalg.norm(
+            np.asarray(split_pred.covariance) - np.asarray(full_pred.covariance)
+        )
+        <= 1e-6
+    )
+    first_pred = first_model.predict(test.features).joint()
+    assert not np.allclose(
+        np.asarray(split_pred.mean), np.asarray(first_pred.mean)
+    )
+    assert (
+        np.linalg.norm(
+            np.asarray(split_pred.covariance) - np.asarray(first_pred.covariance)
+        )
+        >= 1e-6
+    )
+
+
+def test_gp_update_model_different_types():
+    """test_gp.cc:221-264: update a double-feature fit with a variant
+    (inducing-feature) dataset — constraining the inducing predictions
+    reproduces them; perturbing the constraint moves everything."""
+    dataset = make_unobservable_dataset()
+    model = unobservable_model()
+    # train features as a single-tag TaggedBatch so the update can
+    # concatenate with the variant inducing batch (concatenate.hpp analog)
+    tagged_features = TaggedBatch.create(
+        np.full(dataset.size, TAG_DOUBLE), {TAG_DOUBLE: dataset.features}
+    )
+    tagged_dataset = RegressionDataset(tagged_features, dataset.targets, {})
+    fit_model = model.fit(tagged_dataset)
+
+    inducing_points = create_inducing_points(dataset.features)
+    ind_pred = fit_model.predict(inducing_points).marginal()
+    inducing_dataset = RegressionDataset(
+        inducing_points,
+        MarginalDistribution(
+            ind_pred.mean, jnp.full((ind_pred.mean.shape[0],), 1e-4)
+        ),
+        {},
+    )
+    new_fit_model = fit_model.update(inducing_dataset)
+
+    new_pred = new_fit_model.predict(inducing_points).joint()
+    assert (
+        np.linalg.norm(np.asarray(new_pred.mean) - np.asarray(ind_pred.mean))
+        <= 0.01
+    )
+    train_pred = new_fit_model.predict(tagged_features).marginal()
+    assert (
+        np.linalg.norm(
+            np.asarray(train_pred.mean) - np.asarray(dataset.targets.mean)
+        )
+        <= 0.1
+    )
+
+    perturbed_dataset = RegressionDataset(
+        inducing_points,
+        MarginalDistribution(
+            ind_pred.mean + 1.0, jnp.full((ind_pred.mean.shape[0],), 1e-4)
+        ),
+        {},
+    )
+    perturbed_model = fit_model.update(perturbed_dataset)
+    pert_ind = perturbed_model.predict(inducing_points).marginal()
+    pert_train = perturbed_model.predict(tagged_features).marginal()
+    assert (
+        np.linalg.norm(np.asarray(pert_ind.mean) - np.asarray(new_pred.mean))
+        >= 0.5
+    )
+    assert (
+        np.linalg.norm(np.asarray(pert_train.mean) - np.asarray(train_pred.mean))
+        >= 0.5
+    )
+
+
+def test_gp_model_from_prediction_low_rank():
+    """test_gp.cc:308-342: rebasing onto the (low-rank) inducing joint
+    prediction reproduces far-field predictions."""
+    dataset = make_unobservable_dataset()
+    model = unobservable_model()
+    fit_model = model.fit(dataset)
+    inducing_points = create_inducing_points(dataset.features)
+    joint_prediction = fit_model.predict(inducing_points).joint()
+
+    perturbed = jnp.asarray([50.01, 51.01, 52.01])
+    model_pred = fit_model.predict(perturbed).joint()
+    from_prediction = model.fit_from_prediction(
+        inducing_points, joint_prediction
+    )
+    again = from_prediction.predict(perturbed).joint()
+    np.testing.assert_allclose(
+        np.asarray(again.mean), np.asarray(model_pred.mean), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(again.covariance),
+        np.asarray(model_pred.covariance),
+        rtol=1e-4,
+        atol=1e-8,
+    )
+
+
+def test_gp_model_from_prediction_with_mean():
+    """test_gp.cc:344-371: fit_from_prediction must not double count the
+    mean function."""
+    from albatross_tpu.kernels.means import LinearMean
+
+    a, b = 5.0, 1.0
+    x, y = make_toy_linear_data(a, b)
+    dataset = RegressionDataset.create(jnp.asarray(x), jnp.asarray(y))
+    covariance = SquaredExponential(2.0, 1.0) + measurement_only(
+        IndependentNoise(0.1)
+    )
+    model = gp_from_covariance_and_mean(
+        covariance, LinearMean(slope=b, offset=a)
+    )
+    fit_model = model.fit(dataset)
+    features = jnp.asarray([1.3, 4.2, 7.1])
+    pred = fit_model.predict(features).joint()
+    again = model.fit_from_prediction(features, pred).predict(features).joint()
+    assert (
+        np.linalg.norm(np.asarray(again.mean) - np.asarray(pred.mean)) <= 1e-6
+    )
+    assert (
+        np.linalg.norm(
+            np.asarray(again.covariance) - np.asarray(pred.covariance)
+        )
+        <= 1e-6
+    )
+
+
+def test_gp_nonzero_mean():
+    """test_gp.cc:464-490: predictions assembled without the mean function
+    differ substantially from the model's."""
+    from albatross_tpu.kernels import as_measurement
+    from albatross_tpu.kernels.means import LinearMean
+    from albatross_tpu.models.gp import gp_joint_prediction
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    a, b = 5.0, 1.0
+    x, y = make_toy_linear_data(a, b)
+    dataset = RegressionDataset.create(jnp.asarray(x), jnp.asarray(y))
+    covariance = SquaredExponential(100.0, 100.0) + measurement_only(
+        IndependentNoise(0.1)
+    )
+    model = gp_from_covariance_and_mean(
+        covariance, LinearMean(slope=b, offset=a)
+    )
+    fit_model = model.fit(dataset)
+
+    train_cov = covariance(as_measurement(dataset.features))
+    chol = CholeskyFactor.factorize(train_cov)
+    information = chol.solve(dataset.targets.mean)
+    pred_features = jnp.asarray([-20.0, 0.01])
+    cross = covariance.matrix_or_none(dataset.features, pred_features)
+    prior = covariance(pred_features)
+    without_mean = gp_joint_prediction(cross, prior, information, chol)
+    actual = fit_model.predict(pred_features).joint()
+    assert (
+        np.linalg.norm(np.asarray(without_mean.mean) - np.asarray(actual.mean))
+        > 1.0
+    )
+
+
+def test_gp_get_prior():
+    """test_gp.cc:492-506."""
+    from albatross_tpu.kernels import as_measurement
+    from albatross_tpu.kernels.means import LinearMean
+
+    a, b = 5.0, 1.0
+    x, y = make_toy_linear_data(a, b)
+    dataset = RegressionDataset.create(jnp.asarray(x), jnp.asarray(y))
+    covariance = SquaredExponential(100.0, 100.0) + measurement_only(
+        IndependentNoise(0.1)
+    )
+    mean = LinearMean(slope=b, offset=a)
+    model = gp_from_covariance_and_mean(covariance, mean)
+    prior = model.prior(dataset.features)
+    np.testing.assert_array_equal(
+        np.asarray(prior.covariance),
+        np.asarray(covariance(as_measurement(dataset.features))),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(prior.mean),
+        np.asarray(mean(as_measurement(dataset.features))),
+    )
+
+
+def _linear_combination_constraint_case(coefficients):
+    """Shared body of test_gp.cc:392-462: constrain a linear combination of
+    the per-interval inducing features to zero and check the posterior
+    honors it.
+
+    The reference concatenates vector<double> with
+    vector<LinearCombination<ConstantPerIntervalFeature>> into a variant
+    dataset; the batch-level analog here encodes each feature as a
+    structured {value, kind} row (kind 0 = double, 1 = interval feature —
+    undefined kind pairs contribute ZERO blocks, exactly the reference's
+    VariantForwarder semantics) and builds ONE LinearCombinationBatch whose
+    first rows are trivial singleton combinations of the measurements and
+    whose last row is the constraint combination of interval features."""
+    from albatross_tpu.kernels import LinearCombinationBatch
+
+    KIND_DOUBLE, KIND_INTERVAL = 0.0, 1.0
+
+    class EverywhereKinded(CovarianceFunction):
+        variance = 10.0
+
+        @property
+        def name(self):
+            return "everywhere_kinded"
+
+        def _matrix(self, X, Y, x_meas, y_meas):
+            ok = (X["kind"][:, None] != KIND_INTERVAL) & (
+                Y["kind"][None, :] != KIND_INTERVAL
+            )
+            return self.variance * ok.astype(float)
+
+    class PerIntervalKinded(CovarianceFunction):
+        variance = 5.0
+
+        @property
+        def name(self):
+            return "per_interval_kinded"
+
+        def _loc(self, F):
+            return jnp.where(
+                F["kind"] == KIND_INTERVAL, F["value"], _lround(F["value"])
+            )
+
+        def _matrix(self, X, Y, x_meas, y_meas):
+            eq = self._loc(X)[:, None] == self._loc(Y)[None, :]
+            return self.variance * eq.astype(float)
+
+    model = gp_from_covariance(
+        EverywhereKinded() + PerIntervalKinded(), "unobservable_kinded"
+    )
+    dataset = make_unobservable_dataset()
+    inducing = create_inducing_points(dataset.features)
+    intervals = inducing.features[list(inducing.tags).index(TAG_INTERVAL)]
+    sub_vals = (
+        intervals
+        if not coefficients.ndim
+        else intervals[: coefficients.shape[0]]
+    )
+    coefs = (
+        coefficients if coefficients.ndim else jnp.ones((intervals.shape[0],))
+    )
+    k = int(coefs.shape[0])
+    n = dataset.size
+    K = max(k, 2)
+    x = jnp.asarray(dataset.features)
+    sub = {
+        "value": sub_vals,
+        "kind": jnp.full((sub_vals.shape[0],), KIND_INTERVAL),
+    }
+    # rows 0..n-1: the plain measurements as singleton combinations (pad
+    # values with x_0 at coefficient 0, which contributes exactly nothing)
+    pad_plain = jnp.broadcast_to(x[:1, None], (n, K - 1))
+    plain_values = {
+        "value": jnp.concatenate([x[:, None], pad_plain], axis=1),
+        "kind": jnp.full((n, K), KIND_DOUBLE),
+    }
+    plain_coefs = jnp.concatenate(
+        [jnp.ones((n, 1)), jnp.zeros((n, K - 1))], axis=1
+    )
+    combo_values = {
+        "value": jnp.concatenate(
+            [sub_vals, jnp.broadcast_to(x[:1], (K - k,))]
+        )[None, :],
+        "kind": jnp.concatenate(
+            [
+                jnp.full((k,), KIND_INTERVAL),
+                jnp.full((K - k,), KIND_DOUBLE),
+            ]
+        )[None, :],
+    }
+    combo_coefs = jnp.concatenate([coefs, jnp.zeros((K - k,))])[None, :]
+    combined = LinearCombinationBatch(
+        values={
+            key: jnp.concatenate([plain_values[key], combo_values[key]], axis=0)
+            for key in plain_values
+        },
+        coefficients=jnp.concatenate([plain_coefs, combo_coefs], axis=0),
+    )
+    both = RegressionDataset(
+        combined,
+        MarginalDistribution(
+            jnp.concatenate([dataset.targets.mean, jnp.zeros((1,))]),
+            jnp.concatenate([dataset.targets.variance, jnp.full((1,), 1e-5)]),
+        ),
+        {},
+    )
+    fit_model = model.fit(both)
+    pred = fit_model.predict(sub).joint()
+    v = np.asarray(coefs, dtype=float)
+    mean = np.asarray(pred.mean)
+    cov = np.asarray(pred.covariance)
+    assert abs(v @ mean) <= 1e-6
+    assert abs(v @ cov @ v) <= 1e-5
+
+
+def test_gp_unobservable_sum_constraint():
+    """test_gp.cc:392-423."""
+    _linear_combination_constraint_case(jnp.zeros(()))
+
+
+def test_gp_unobservable_diff_constraint():
+    """test_gp.cc:425-462."""
+    _linear_combination_constraint_case(jnp.asarray([1.0, -1.0]))
