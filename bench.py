@@ -263,8 +263,20 @@ def _extra_benchmarks():
     # -- scale row: N=32768 NLML (auto precision=HIGH panel GEMMs) -----------
     # the N >= 32768 regime single-pass-bf16 NaNs; blocked_cholesky_cols
     # escalates panel formation to 3-pass automatically (CLAUDE.md #2).
-    # Driver-captures the scale claim (VERDICT r2 missing #1).
-    if os.environ.get("ALBATROSS_BENCH_SCALE", "1") != "0":
+    # Driver-captures the scale claim (VERDICT r2 missing #1).  Tunnel
+    # health gate: when the axon remote service is backed up (observed: a
+    # 256x256 matmul taking ~30 min), a fresh N=32768 compile could stall
+    # the whole bench — probe with a small timed matmul first and skip the
+    # scale row if the tunnel is sick.
+    def _tunnel_healthy() -> bool:
+        t0 = time.perf_counter()
+        z = jnp.ones((256, 256), jnp.float32)
+        float((z @ z)[0, 0])
+        return (time.perf_counter() - t0) < 30.0
+
+    if os.environ.get("ALBATROSS_BENCH_SCALE", "1") != "0" and (
+        jax.default_backend() == "cpu" or _tunnel_healthy()
+    ):
         n_scale = 32768
         per_eval = _measure_nlml(n_scale, 4)
         tflops = nlml_flops(n_scale) / per_eval / 1e12
