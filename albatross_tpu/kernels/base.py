@@ -328,8 +328,13 @@ def _batch_one(feature):
         return Measurement(_batch_one(feature.value))
     if isinstance(feature, (LinearCombinationBatch, TaggedBatch)):
         return feature  # already batch-level wrappers
-    # scalar → (1,); (D,) vector feature → (1, D)
-    return jnp.asarray(feature)[None]
+    try:
+        # scalar → (1,); (D,) vector feature → (1, D)
+        return jnp.asarray(feature)[None]
+    except (TypeError, ValueError):
+        # custom feature-batch objects (ConstantTerm, user-defined variant
+        # kinds) pass through unchanged — they are already batches
+        return feature
 
 
 def _trace(kernel: CovarianceFunction, x, y) -> CallTreeNode:

@@ -90,7 +90,16 @@ class LinearCombinationBatch:
 
 
 def to_linear_combination(features, coefficients=None) -> LinearCombinationBatch:
-    """One combination spanning the given features (linear_combination.hpp)."""
+    """One combination spanning the given features (linear_combination.hpp);
+    idempotent on an existing combination (linear_combination.hpp
+    to_linear_combination(LinearCombination) returns it unchanged —
+    test_linear_combination.cc:91-103)."""
+    if isinstance(features, LinearCombinationBatch):
+        if coefficients is not None:
+            raise ValueError(
+                "cannot re-weight an existing LinearCombinationBatch"
+            )
+        return features
     leaves = jax.tree_util.tree_leaves(features)
     k = leaves[0].shape[0]
     if coefficients is None:

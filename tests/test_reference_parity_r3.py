@@ -768,3 +768,191 @@ def test_gp_unobservable_sum_constraint():
 def test_gp_unobservable_diff_constraint():
     """test_gp.cc:425-462."""
     _linear_combination_constraint_case(jnp.asarray([1.0, -1.0]))
+
+
+# ---------------------------------------------------------------------------
+# test_call_trace.cc — sum/product dispatch over partially-defined kernels
+# ---------------------------------------------------------------------------
+import dataclasses
+
+import jax
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class XFeat:
+    """test_call_trace.cc:19 struct X — a 1-row batch of the X kind."""
+
+    dummy: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1,))
+    )
+
+    def tree_flatten(self):
+        return (self.dummy,), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class YFeat:
+    """test_call_trace.cc:20 struct Y."""
+
+    dummy: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1,))
+    )
+
+    def tree_flatten(self):
+        return (self.dummy,), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(children[0])
+
+
+class _ConstFor(CovarianceFunction):
+    """Kernel defined only for specific (kind, kind) pairs, returning a
+    constant per pair — the batch analog of the reference's per-type
+    _call_impl overload sets (test_call_trace.cc:22-42)."""
+
+    def __init__(self, name, table):
+        self._name = name
+        self.table = table  # {(kx, ky): value}
+
+    @property
+    def name(self):
+        return self._name
+
+    @staticmethod
+    def _kind(F):
+        return "x" if isinstance(F, XFeat) else (
+            "y" if isinstance(F, YFeat) else None
+        )
+
+    def _matrix(self, X, Y, x_meas, y_meas):
+        kx, ky = self._kind(X), self._kind(Y)
+        if kx is None or ky is None:
+            return None
+        v = self.table.get((kx, ky))
+        if v is None:
+            # symmetric dispatch: the reference's caller tries (y, x)
+            v = self.table.get((ky, kx))
+            if v is None:
+                return None
+        return jnp.full((1, 1), float(v))
+
+
+def _defined_for_x():
+    return _ConstFor("defined_for_x", {("x", "x"): 1.0})
+
+
+def _defined_for_y():
+    return _ConstFor("defined_for_y", {("y", "y"): 3.0})
+
+
+def _defined_for_xy():
+    return _ConstFor(
+        "defined_for_xy", {("x", "x"): 5.0, ("x", "y"): 7.0, ("y", "y"): 9.0}
+    )
+
+
+def _node_count(node):
+    return 1 + sum(_node_count(c) for c in node.children)
+
+
+def _pair_value(cov, a, b):
+    out = cov.matrix_or_none(a, b)
+    return None if out is None else float(out[0, 0])
+
+
+def test_call_trace_sum_and_product_dispatch():
+    """test_call_trace.cc:53-133 + 151-169: expected values of every
+    partially-defined composition AND the call-trace node counts."""
+    x, y = XFeat(), YFeat()
+
+    # SumXandXY (3 calls): undef sides drop out of sums
+    cov = _defined_for_x() + _defined_for_xy()
+    assert _pair_value(cov, x, x) == 6.0
+    assert _pair_value(cov, x, y) == 7.0
+    assert _pair_value(cov, y, x) == 7.0
+    assert _pair_value(cov, y, y) == 9.0
+    for a, b in ((x, x), (x, y), (y, y)):
+        assert _node_count(cov.call_trace(a, b)) == 3
+
+    # SumXandY (3 calls)
+    cov = _defined_for_x() + _defined_for_y()
+    assert _pair_value(cov, x, x) == 1.0
+    assert _pair_value(cov, y, y) == 3.0
+    for a, b in ((x, x), (x, y), (y, y)):
+        assert _node_count(cov.call_trace(a, b)) == 3
+
+    # SumSumXandYandXY (5 calls)
+    cov = (_defined_for_x() + _defined_for_y()) + _defined_for_xy()
+    assert _pair_value(cov, x, x) == 6.0
+    assert _pair_value(cov, y, x) == 7.0
+    assert _pair_value(cov, x, y) == 7.0
+    assert _pair_value(cov, y, y) == 12.0
+    for a, b in ((x, x), (x, y), (y, y)):
+        assert _node_count(cov.call_trace(a, b)) == 5
+
+    # ProdXandXY (3 calls): undef sides drop out of products too
+    cov = _defined_for_x() * _defined_for_xy()
+    assert _pair_value(cov, x, x) == 5.0
+    assert _pair_value(cov, y, x) == 7.0
+    assert _pair_value(cov, x, y) == 7.0
+    assert _pair_value(cov, y, y) == 9.0
+    for a, b in ((x, x), (x, y), (y, y)):
+        assert _node_count(cov.call_trace(a, b)) == 3
+
+    # ProdSumXandXYProdXandXY (7 calls)
+    cov = (_defined_for_x() + _defined_for_xy()) * (
+        _defined_for_x() * _defined_for_xy()
+    )
+    assert _pair_value(cov, x, x) == 30.0
+    assert _pair_value(cov, y, x) == 49.0
+    assert _pair_value(cov, x, y) == 49.0
+    assert _pair_value(cov, y, y) == 81.0
+    for a, b in ((x, x), (x, y), (y, y)):
+        assert _node_count(cov.call_trace(a, b)) == 7
+
+
+# ---------------------------------------------------------------------------
+# test_linear_combination.cc — combination constructors
+# ---------------------------------------------------------------------------
+def test_linear_combination_constructors():
+    """test_linear_combination.cc:17-103 (the int/double 'variant' versions
+    collapse to dtype promotion in array-land): sum, difference, mean, and
+    idempotent to_linear_combination."""
+    from albatross_tpu.kernels import (
+        difference_of,
+        mean_of,
+        sum_of,
+        to_linear_combination,
+    )
+
+    combo = sum_of(jnp.asarray([1.0, 2.0]))
+    np.testing.assert_array_equal(np.asarray(combo.values[0]), [1.0, 2.0])
+    np.testing.assert_array_equal(np.asarray(combo.coefficients[0]), [1.0, 1.0])
+
+    diff = difference_of(jnp.asarray([1.0]), jnp.asarray([2.0]))
+    np.testing.assert_array_equal(np.asarray(diff.values[0]), [1.0, 2.0])
+    np.testing.assert_array_equal(np.asarray(diff.coefficients[0]), [1.0, -1.0])
+
+    for i in range(1, 12):
+        xs = jnp.arange(i, dtype=float)
+        combo = mean_of(xs)
+        assert combo.combo_size == i
+        np.testing.assert_array_equal(np.asarray(combo.values[0]), np.asarray(xs))
+        np.testing.assert_allclose(
+            np.asarray(combo.coefficients[0]), np.full(i, 1.0 / i)
+        )
+
+    single = to_linear_combination(jnp.asarray([1.0]))
+    assert single.combo_size == 1
+    np.testing.assert_array_equal(np.asarray(single.coefficients[0]), [1.0])
+
+    # to_linear_combination is idempotent on an existing combination
+    again = to_linear_combination(diff)
+    assert again is diff
