@@ -47,3 +47,7 @@ def test_sampler_example(tmp_path):
 
 def test_inspection_example():
     run_example("examples.inspection", [])
+
+
+def test_distributed_example():
+    run_example("examples.distributed", ["--n", "128"])
