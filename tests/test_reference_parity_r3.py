@@ -956,3 +956,179 @@ def test_linear_combination_constructors():
     # to_linear_combination is idempotent on an existing combination
     again = to_linear_combination(diff)
     assert again is diff
+
+
+# ---------------------------------------------------------------------------
+# test_tune.cc — tuning drivers on the seed-3 data
+# ---------------------------------------------------------------------------
+def _tune_case_model():
+    return gp_from_covariance(make_simple_covariance_function())
+
+
+def test_tune_single_dataset():
+    """test_tune.cc:20-40: 20 evals of the LOO-NLL tuner must improve the
+    cross-validated joint NLL."""
+    from albatross_tpu.tuning import get_tuner
+
+    dataset = _gp_case_dataset()
+    model = _tune_case_model()
+    loo_nll = LeaveOneOutLikelihood(JointDistribution)
+    result = get_tuner(
+        model, loo_nll, dataset, max_iterations=20
+    ).tune()
+
+    nll = NegativeLogLikelihood(JointDistribution)
+    before = np.mean(
+        np.asarray(
+            model.cross_validate().scores(nll, dataset, LeaveOneOutGrouper())
+        )
+    )
+    tuned = model.set_params(result.params)
+    after = np.mean(
+        np.asarray(
+            tuned.cross_validate().scores(nll, dataset, LeaveOneOutGrouper())
+        )
+    )
+    assert after < before
+
+
+def test_tune_with_prior_bounds():
+    """test_tune.cc:42-64: starting every parameter at 1e-8 (PositivePrior)
+    drives NaN objectives early; tuning must recover to valid params."""
+    from albatross_tpu.core.parameters import Parameter
+    from albatross_tpu.core.priors import PositivePrior
+    from albatross_tpu.tuning import get_tuner
+
+    dataset = _gp_case_dataset()
+    model = _tune_case_model()
+    for name in model.get_params():
+        model = model.set_param(name, Parameter(1e-8, PositivePrior()))
+    result = get_tuner(
+        model,
+        LeaveOneOutLikelihood(JointDistribution),
+        dataset,
+        max_iterations=20,
+    ).tune()
+    tuned = model.set_params(result.params)
+    assert tuned.params_are_valid()
+
+
+def test_tune_with_prior():
+    """test_tune.cc:66-105: tuning WITH tight Gaussian priors lands at
+    parameters whose prior log-likelihood beats the prior-free optimum's."""
+    from albatross_tpu.core.parameters import Parameter
+    from albatross_tpu.core.priors import FixedPrior, GaussianPrior
+    from albatross_tpu.tuning import get_tuner
+
+    dataset = _gp_case_dataset()
+    model_no_priors = _tune_case_model()
+    model_with_priors = _tune_case_model()
+    for name, p in model_with_priors.get_params().items():
+        model_with_priors = model_with_priors.set_param(
+            name, Parameter(p.value, GaussianPrior(float(p.value) + 0.1, 0.001))
+        )
+    first = sorted(model_with_priors.get_params())[0]
+    p0 = model_with_priors.get_params()[first]
+    model_with_priors = model_with_priors.set_param(
+        first, Parameter(p0.value, FixedPrior())
+    )
+
+    loo_nll = LeaveOneOutLikelihood(JointDistribution)
+    result = get_tuner(
+        model_with_priors, loo_nll, dataset, max_iterations=50
+    ).tune()
+    tuned = model_with_priors.set_params(result.params)
+    ll_with_prior = float(tuned.prior_log_likelihood())
+
+    result_no = get_tuner(
+        model_no_priors, loo_nll, dataset, max_iterations=50
+    ).tune()
+    cross = model_with_priors
+    for name, p in result_no.params.items():
+        cross = cross.set_param_value(name, p.value)
+    ll_without_prior = float(cross.prior_log_likelihood())
+    assert ll_with_prior > ll_without_prior
+
+
+def test_tune_multiple_datasets():
+    """test_tune.cc:107-124: tuning over two datasets with the mean
+    aggregator runs and improves the aggregate objective."""
+    from albatross_tpu.tuning import get_tuner, mean_aggregator
+
+    x1, y1 = make_toy_linear_data(2.0, 4.0, 0.2)
+    x2, y2 = make_toy_linear_data(1.0, 5.0, 0.1)
+    datasets = [
+        RegressionDataset.create(jnp.asarray(x1), jnp.asarray(y1)),
+        RegressionDataset.create(jnp.asarray(x2), jnp.asarray(y2)),
+    ]
+    model = _tune_case_model()
+    tuner = get_tuner(
+        model,
+        LeaveOneOutLikelihood(JointDistribution),
+        datasets,
+        aggregator=mean_aggregator,
+        max_iterations=20,
+    )
+    result = tuner.tune()
+    assert result.history[-1] <= result.history[0] + 1e-9
+
+
+# test_tune.cc:135-226 TestTuneQuadratic: the generic tuner must handle the
+# plain-vector AND f(ParameterStore) objective forms on the same quadratic.
+_QUAD_A = np.array(
+    [
+        [4.5244, 1.43904, 2.24636],
+        [1.43904, 2.26512, 0.985532],
+        [2.24636, 0.985532, 2.18973],
+    ]
+)
+_QUAD_TRUTH = np.ones(3)
+_QUAD_B = _QUAD_A @ _QUAD_TRUTH
+
+
+def test_tune_quadratic_generic():
+    from albatross_tpu.core.parameters import Parameter
+    from albatross_tpu.core.priors import UninformativePrior
+    from albatross_tpu.core.parameters import get_tunable_parameters
+    from albatross_tpu.tuning import GenericTuner
+    from albatross_tpu.tuning.tune import tune_parameter_store
+
+    A = jnp.asarray(_QUAD_A)
+    b = jnp.asarray(_QUAD_B)
+
+    def objective_vec(x):
+        z = A @ jnp.asarray(x) - b
+        return z @ z
+
+    params = {
+        f"x_{i}": Parameter(0.0, UninformativePrior()) for i in range(3)
+    }
+    tunable = get_tunable_parameters(params)
+
+    # vector form, both optimizers (the reference runs nlopt's gradient-free
+    # and gradient entries; here lbfgs = gradient, nelder_mead = SBPLX-like)
+    for optimizer in ("lbfgs", "nelder_mead"):
+        tuner = GenericTuner(
+            tunable, optimizer=optimizer, max_iterations=300,
+            tolerance=1e-14,
+        )
+        result = tuner.tune(objective_vec)
+        assert np.abs(np.asarray(result.x) - _QUAD_TRUTH).max() < 5e-3, (
+            optimizer,
+            result.x,
+        )
+
+    # f(ParameterStore) form
+    def objective_params(store):
+        vals = jnp.asarray(
+            [store[f"x_{i}"].value for i in range(3)]
+        )
+        return objective_vec(vals)
+
+    result = tune_parameter_store(
+        objective_params, params, max_iterations=300, tolerance=1e-14
+    )
+    got = np.asarray(
+        [float(result.params[f"x_{i}"].value) for i in range(3)]
+    )
+    assert np.abs(got - _QUAD_TRUTH).max() < 5e-3
