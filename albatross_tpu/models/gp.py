@@ -303,16 +303,19 @@ class GaussianProcess(ModelBase):
             chol = self._factorize(cov, jitter_applied=fused)
             ll = -negative_log_likelihood(zero_mean, chol)
         else:
-            # fused factorize+whiten: forward substitution reuses the
-            # blocked factorization's panel inverses (see ops/linalg.py).
-            # Gradients go through XLA autodiff — a closed-form custom VJP
-            # (potri-style explicit inverse) was measured SLOWER on v5e
-            # (2.81x vs 2.69x forward at N=20480: its backward is n³ GEMM
-            # flops vs autodiff's 2n³/3) and less accurate; see ops/nlml.py.
-            chol, white = CholeskyFactor.factorize_whiten(
+            # fused factorize+whiten WITHOUT assembling the (n, n) factor:
+            # forward substitution reuses the blocked factorization's panel
+            # inverses, and the NLML only needs the panel diagonals +
+            # whitened vector, so the final O(N²) factor write is skipped
+            # (ops/linalg.py nlml_terms).  Gradients go through XLA
+            # autodiff — a closed-form custom VJP (potri-style explicit
+            # inverse) was measured SLOWER on v5e (2.81x vs 2.69x forward
+            # at N=20480: its backward is n³ GEMM flops vs autodiff's
+            # 2n³/3) and less accurate; see ops/nlml.py.
+            log_det, white = CholeskyFactor.nlml_terms(
                 cov, zero_mean, jitter=jitter, assume_symmetric=True
             )
-            ll = -_nll_from_whitened(chol.log_determinant(), white)
+            ll = -_nll_from_whitened(log_det, white)
         return ll + self.prior_log_likelihood()
 
     # -- fast cross-validation (gp.hpp:465-504) ------------------------------

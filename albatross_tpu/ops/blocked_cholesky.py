@@ -184,6 +184,7 @@ _PRECISIONS = {
         "diag_precision",
         "panel_precision",
         "trailing_precision",
+        "assemble",
     ),
 )
 def blocked_cholesky_cols(
@@ -194,6 +195,7 @@ def blocked_cholesky_cols(
     diag_precision: str | None = "auto",
     panel_precision: str | None = "auto",
     trailing_precision: str | None = None,
+    assemble: bool = True,
 ) -> jnp.ndarray:
     """Column-panel-layout variant of ``blocked_cholesky``.
 
@@ -216,11 +218,22 @@ def blocked_cholesky_cols(
 
     With ``rhs``, also returns ``z = L⁻¹ rhs`` (fused forward substitution,
     see ``blocked_cholesky``).
+
+    ``assemble=False`` (requires ``rhs``) skips building the (n, n) factor
+    entirely and returns ``(diag_L, z)`` — the NLML consumes only the
+    log-determinant (panel diagonals) and the whitened vector, so the final
+    column concatenation's O(N²) HBM write is pure waste on that path.
     """
     n = K.shape[0]
+    if not assemble and rhs is None:
+        raise ValueError("assemble=False requires rhs (the NLML fused path)")
     b = block_size if block_size is not None else auto_block_size(n)
     if n <= b or n % b != 0:
-        return blocked_cholesky(K, b, rhs=rhs, panel_sub=panel_sub)
+        out = blocked_cholesky(K, b, rhs=rhs, panel_sub=panel_sub)
+        if not assemble:
+            L, z = out
+            return jnp.diagonal(L), z
+        return out
 
     if diag_precision == "auto":
         # diag-block refinement is NOT cheap (G²/2 pairs × b³ multi-pass ≈
@@ -283,5 +296,10 @@ def blocked_cholesky_cols(
                     Lrows, Lj.T, precision=trail_prec
                 )
             cols[j] = jnp.concatenate([cols[j][:j0], updated], axis=0)
+    if not assemble:
+        diag = jnp.concatenate(
+            [jnp.diagonal(cols[k][k * b : (k + 1) * b]) for k in range(G)]
+        )
+        return diag, z
     L = jnp.tril(jnp.concatenate(cols, axis=1))
     return L if rhs is None else (L, z)

@@ -100,3 +100,20 @@ def test_two_level_cols_matches_builtin(rng):
     np.testing.assert_allclose(L, L_ref, atol=1e-8)
     z_ref = solve_triangular(L_ref, y[:, None], lower=True)[:, 0]
     np.testing.assert_allclose(z, z_ref, atol=1e-8)
+
+
+def test_no_assemble_nlml_path(rng):
+    """assemble=False returns (diag(L), whitened) identical to the
+    assembled factor — the NLML hot loop skips the O(N²) factor write."""
+    from albatross_tpu.ops.blocked_cholesky import blocked_cholesky_cols
+
+    n = 3072  # > one block: exercises the column-panel diag gather
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    y = jnp.asarray(rng.standard_normal(n))
+    L, z = blocked_cholesky_cols(K, rhs=y)
+    diag, z2 = blocked_cholesky_cols(K, rhs=y, assemble=False)
+    np.testing.assert_array_equal(np.asarray(diag), np.diagonal(np.asarray(L)))
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+    with pytest.raises(ValueError, match="requires rhs"):
+        blocked_cholesky_cols(K, assemble=False)
