@@ -1132,3 +1132,213 @@ def test_tune_quadratic_generic():
         [float(result.params[f"x_{i}"].value) for i in range(3)]
     )
     assert np.abs(got - _QUAD_TRUTH).max() < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# test_covariance_function.cc — variant + linear-combination caller semantics
+# ---------------------------------------------------------------------------
+# The reference dispatches vector<variant<X, Y, W>> per element at compile
+# time; the batch-level analog encodes the kind per row ({kind} features) —
+# a mixed batch IS the variant batch, and undefined kind pairs are zero
+# blocks (VariantForwarder semantics).
+def _kinds(*ks):
+    return {"kind": jnp.asarray([float(k) for k in ks])}
+
+
+_KX, _KY, _KW = 0, 1, 2
+
+
+class _HasMultiple(CovarianceFunction):
+    """test_covariance_utils.h:42-62: (x,x)=1, (x,y)=3, (y,y)=5, (w,w)=7,
+    every other pair undefined (zero in variant context)."""
+
+    @property
+    def name(self):
+        return "has_multiple"
+
+    def _matrix(self, X, Y, x_meas, y_meas):
+        kx = X["kind"][:, None]
+        ky = Y["kind"][None, :]
+
+        def pair(a, b, v):
+            hit = ((kx == a) & (ky == b)) | ((kx == b) & (ky == a))
+            return jnp.where(hit, v, 0.0)
+
+        return (
+            pair(_KX, _KX, 1.0)
+            + pair(_KX, _KY, 3.0)
+            + pair(_KY, _KY, 5.0)
+            + pair(_KW, _KW, 7.0)
+        )
+
+
+class _HasXX(CovarianceFunction):
+    """test_covariance_utils.h HasXX: defined only for (x, x)."""
+
+    @property
+    def name(self):
+        return "has_xx"
+
+    def _matrix(self, X, Y, x_meas, y_meas):
+        kx = X["kind"][:, None]
+        ky = Y["kind"][None, :]
+        return jnp.where((kx == _KX) & (ky == _KX), 1.0, 0.0)
+
+
+def _scalar(cov, a, b):
+    return float(cov.matrix_or_none(a, b)[0, 0])
+
+
+def test_covariance_matrix_shapes():
+    """test_covariance_function.cc:35-54."""
+    cov = _HasMultiple()
+    xs = _kinds(_KX, _KX, _KX)
+    ys = _kinds(_KY, _KY)
+    assert cov(xs).shape == (3, 3)
+    assert cov(ys).shape == (2, 2)
+    assert cov.matrix_or_none(xs, ys).shape == (3, 2)
+
+
+def test_works_with_variants():
+    """test_covariance_function.cc:57-133: the pair-value table, including
+    zeros for undefined pairs, and a mixed (variant) batch assembling the
+    blockwise table."""
+    cov = _HasMultiple()
+    x, y, w = _kinds(_KX), _kinds(_KY), _kinds(_KW)
+    assert _scalar(cov, x, x) == 1.0
+    assert _scalar(cov, x, y) == 3.0
+    assert _scalar(cov, y, x) == 3.0
+    assert _scalar(cov, y, y) == 5.0
+    assert _scalar(cov, w, w) == 7.0
+    assert _scalar(cov, x, w) == 0.0
+    assert _scalar(cov, w, y) == 0.0
+    mixed = _kinds(_KX, _KY, _KW)  # variant<X, Y, W> batch
+    expected = np.array(
+        [[1.0, 3.0, 0.0], [3.0, 5.0, 0.0], [0.0, 0.0, 7.0]]
+    )
+    np.testing.assert_array_equal(np.asarray(cov(mixed)), expected)
+
+
+def test_variant_recursion_bug():
+    """test_covariance_function.cc:135-171: a sum must not skip terms that
+    are defined for only part of the variant."""
+    has_multiple = _HasMultiple()
+    cov = _HasXX() + _HasMultiple()
+    x, y = _kinds(_KX), _kinds(_KY)
+    assert _scalar(cov, x, x) == 1.0 + _scalar(has_multiple, x, x)
+    assert _scalar(cov, x, y) == _scalar(has_multiple, x, y)
+    assert _scalar(cov, y, x) == _scalar(has_multiple, y, x)
+    assert _scalar(cov, y, y) == _scalar(has_multiple, y, y)
+
+
+def test_caller_ordering():
+    """test_covariance_function.cc:172-193: Measurement wrappers unwrap for
+    measurement-agnostic kernels, including around linear combinations."""
+    from albatross_tpu import Measurement
+    from albatross_tpu.kernels import sum_of
+
+    cov = _HasMultiple()
+    x, y = _kinds(_KX), _kinds(_KY)
+    x_y = _scalar(cov, x, y)
+    assert _scalar(cov, x, Measurement(y)) == x_y
+    sum_of_two_ys = sum_of(_kinds(_KY, _KY))
+    assert _scalar(cov, x, sum_of_two_ys) == 2.0 * x_y
+    assert _scalar(cov, x, Measurement(sum_of_two_ys)) == 2.0 * x_y
+
+
+def test_linear_combo_variants():
+    """test_covariance_function.cc:194-223: combinations OF variants."""
+    from albatross_tpu.kernels import sum_of
+
+    cov = _HasMultiple()
+    x, y = _kinds(_KX), _kinds(_KY)
+    vy_vy = sum_of(_kinds(_KY, _KY))
+    vy_vx = sum_of(_kinds(_KY, _KX))
+    vx = sum_of(_kinds(_KX))
+    cov_x_y = _scalar(cov, x, y)
+    assert _scalar(cov, vx, y) == cov_x_y
+    assert _scalar(cov, x, vy_vy) == 2.0 * cov_x_y
+    expected = 2.0 * _scalar(cov, y, x) + 2.0 * _scalar(cov, y, y)
+    assert _scalar(cov, vy_vy, vy_vx) == expected
+
+
+def test_linear_combinations_covariance():
+    """test_covariance_function.cc:225-249."""
+    from albatross_tpu.kernels import difference_of, mean_of, sum_of
+
+    cov = _HasMultiple()
+    x, y = _kinds(_KX), _kinds(_KY)
+    one_x = _scalar(cov, x, x)
+    one_xy = _scalar(cov, y, x)
+    sum_x = sum_of(_kinds(_KX, _KX))
+    assert _scalar(cov, sum_x, x) == 2.0 * one_x
+    assert _scalar(cov, x, sum_x) == 2.0 * one_x
+    assert _scalar(cov, sum_x, sum_x) == 4.0 * one_x
+    sum_xy = sum_of(_kinds(_KX, _KY))
+    assert _scalar(cov, x, sum_xy) == one_x + one_xy
+    diff_y = difference_of(_kinds(_KY), _kinds(_KY))
+    assert _scalar(cov, diff_y, diff_y) == 0.0
+    diff_xy = difference_of(_kinds(_KX), _kinds(_KY))
+    assert _scalar(cov, x, diff_xy) == one_x - one_xy
+    mean_x = mean_of(_kinds(_KX, _KX))
+    assert _scalar(cov, mean_x, mean_x) == 0.25 * _scalar(
+        cov, sum_x, sum_x
+    )
+
+
+# ---------------------------------------------------------------------------
+# test_evaluate.cc — NLL golden (scipy-verified in the reference's comment)
+# ---------------------------------------------------------------------------
+def test_negative_log_likelihood_golden():
+    """test_evaluate.cc:34-63: the multivariate NLL matches
+    scipy.stats.multivariate_normal.logpdf = -6.0946974293510134, and the
+    joint/marginal metric wrappers agree with the raw computations."""
+    from albatross_tpu.evaluation.metrics import (
+        negative_log_likelihood_joint,
+        negative_log_likelihood_marginal,
+    )
+    from albatross_tpu.models.gp import negative_log_likelihood
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    x = jnp.asarray([-1.0, 0.0, 1.0])
+    cov = jnp.asarray([[1.0, 0.9, 0.8], [0.9, 1.0, 0.9], [0.8, 0.9, 1.0]])
+    nll = float(negative_log_likelihood(x, CholeskyFactor.factorize(cov)))
+    assert nll == pytest.approx(6.0946974293510134, abs=1e-6)
+
+    pred = JointDistribution(x, cov)
+    truth = MarginalDistribution(jnp.zeros((3,)), jnp.zeros((3,)))
+    assert float(
+        negative_log_likelihood_joint(pred, truth)
+    ) == pytest.approx(nll, abs=1e-6)
+
+    diag_pred = MarginalDistribution(x, jnp.diagonal(cov))
+    diag_nll = float(negative_log_likelihood_marginal(diag_pred, truth))
+    dense_diag = float(
+        negative_log_likelihood(
+            x, CholeskyFactor.factorize(jnp.diag(jnp.diagonal(cov)))
+        )
+    )
+    assert diag_nll == pytest.approx(dense_diag, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# test_model_metrics.cc — every model metric is finite on the GP case
+# ---------------------------------------------------------------------------
+def test_model_metrics_sanity():
+    """test_model_metrics.cc:18-43."""
+    from albatross_tpu.evaluation.model_metrics import (
+        GaussianProcessNegativeLogLikelihood,
+        LeaveOneOutLikelihood,
+        LeaveOneOutRMSE,
+    )
+
+    dataset = _gp_case_dataset()
+    model = _tune_case_model()
+    for metric in (
+        LeaveOneOutLikelihood(JointDistribution),
+        LeaveOneOutLikelihood(MarginalDistribution),
+        LeaveOneOutRMSE(),
+        GaussianProcessNegativeLogLikelihood(),
+    ):
+        value = float(metric(dataset, model))
+        assert not math.isnan(value), type(metric).__name__
