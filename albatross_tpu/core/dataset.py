@@ -238,4 +238,9 @@ def align_datasets(
     common = sorted(set(ka.tolist()) & set(kb.tolist()))
     ia = [int(list(ka).index(k)) for k in common]
     ib = [int(list(kb).index(k)) for k in common]
-    return a.subset(jnp.asarray(ia)), b.subset(jnp.asarray(ib))
+    # explicit integer dtype: an empty intersection otherwise produces a
+    # float64 empty index array, which jnp indexing rejects
+    return (
+        a.subset(jnp.asarray(ia, dtype=jnp.int32)),
+        b.subset(jnp.asarray(ib, dtype=jnp.int32)),
+    )

@@ -1342,3 +1342,182 @@ def test_model_metrics_sanity():
     ):
         value = float(metric(dataset, model))
         assert not math.isnan(value), type(metric).__name__
+
+
+# ---------------------------------------------------------------------------
+# test_conditional_gaussian.cc — conditional == GP on the same prior
+# ---------------------------------------------------------------------------
+def test_conditional_equivalent_to_gp():
+    """test_conditional_gaussian.cc:19-46 (the with-mean GP case)."""
+    from albatross_tpu.kernels import as_measurement
+    from albatross_tpu.kernels.means import LinearMean
+    from albatross_tpu.models.conditional import ConditionalGaussian
+
+    a, b = 5.0, 1.0
+    x, y = make_toy_linear_data(a, b)
+    dataset = RegressionDataset.create(jnp.asarray(x), jnp.asarray(y))
+    covariance = SquaredExponential(100.0, 100.0) + measurement_only(
+        IndependentNoise(0.1)
+    )
+    gp = gp_from_covariance_and_mean(covariance, LinearMean(slope=b, offset=a))
+    prior = gp.prior(dataset.features)
+    model = ConditionalGaussian(prior, dataset.targets)
+
+    assert dataset.size > 5
+    train_inds = [0, 2, 4]
+    test_inds = [1, 3]
+
+    gp_fit = gp.fit(dataset[jnp.asarray(train_inds)])
+    meas = as_measurement(dataset[jnp.asarray(test_inds)].features)
+    gp_pred = gp_fit.predict(meas).joint()
+
+    cond_pred = model.fit(train_inds).predict(test_inds).joint()
+    assert (
+        np.linalg.norm(np.asarray(cond_pred.mean) - np.asarray(gp_pred.mean))
+        < 1e-6
+    )
+    assert (
+        np.linalg.norm(
+            np.asarray(cond_pred.covariance) - np.asarray(gp_pred.covariance)
+        )
+        < 1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# test_core_dataset.cc — dataset utilities
+# ---------------------------------------------------------------------------
+def test_dataset_construct_subset_filter():
+    """test_core_dataset.cc:20-36."""
+    rng = np.random.default_rng(0)
+    features = jnp.asarray([3.0, 7.0, 1.0])
+    targets = jnp.asarray(rng.standard_normal(3))
+    dataset = RegressionDataset.create(features, targets)
+    assert dataset.size == 3
+    sub = dataset.subset(jnp.asarray([0, 2]))
+    assert sub.size == 2
+    keep = np.flatnonzero(
+        np.isin(np.asarray(features), [3.0, 1.0])
+    )
+    filtered = dataset.subset(jnp.asarray(keep))
+    np.testing.assert_array_equal(
+        np.asarray(filtered.features), np.asarray(sub.features)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(filtered.targets.mean), np.asarray(sub.targets.mean)
+    )
+
+
+def test_dataset_deduplicate():
+    """test_core_dataset.cc:49-57: later occurrences win."""
+    from albatross_tpu.core.dataset import deduplicate
+
+    rng = np.random.default_rng(1)
+    dataset = RegressionDataset.create(
+        jnp.asarray([0.0, 1.0, 1.0, 2.0]), jnp.asarray(rng.standard_normal(4))
+    )
+    dedup = deduplicate(dataset)
+    expected = dataset.subset(jnp.asarray([0, 2, 3]))
+    np.testing.assert_array_equal(
+        np.asarray(dedup.features), np.asarray(expected.features)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dedup.targets.mean), np.asarray(expected.targets.mean)
+    )
+    # idempotent
+    again = deduplicate(dedup)
+    np.testing.assert_array_equal(
+        np.asarray(again.features), np.asarray(dedup.features)
+    )
+
+
+@pytest.mark.parametrize(
+    "fa, fb, expected_n",
+    [
+        ([0, 1, 2], [2, 3, 0, 1], 3),  # a in b
+        ([0, 2, 1], [2, 3, 0, 1], 3),  # unordered
+        ([0, 1, 2, 3], [2, 4, 0], 2),  # a not in b
+        ([0, 1, 2], [3, 4, 5], 0),  # no intersect
+    ],
+)
+def test_dataset_align(fa, fb, expected_n):
+    """test_core_dataset.cc:59-115."""
+    from albatross_tpu.core.dataset import align_datasets
+
+    rng = np.random.default_rng(2)
+    a = RegressionDataset.create(
+        jnp.asarray(fa, dtype=float),
+        jnp.asarray(rng.standard_normal(len(fa))),
+    )
+    b = RegressionDataset.create(
+        jnp.asarray(fb, dtype=float),
+        jnp.asarray(rng.standard_normal(len(fb))),
+    )
+    a2, b2 = align_datasets(a, b, key_fn=lambda f: np.asarray(f))
+    assert a2.size == expected_n
+    assert b2.size == expected_n
+    np.testing.assert_array_equal(
+        np.asarray(a2.features), np.asarray(b2.features)
+    )
+
+
+def test_dataset_concatenate_same_type():
+    """test_core_dataset.cc:117-143: split + recombine round trip, with and
+    without target variance."""
+    from albatross_tpu.core.dataset import concatenate_datasets
+
+    rng = np.random.default_rng(3)
+    features = jnp.asarray([3.0, 7.0, 1.0])
+    y = jnp.asarray(rng.standard_normal(3))
+    for variance in (None, jnp.ones((3,))):
+        dataset = RegressionDataset.create(features, y, variance=variance)
+        first = dataset.subset(jnp.asarray([0, 1]))
+        second = dataset.subset(jnp.asarray([2]))
+        assert first.size == 2 and second.size == 1
+        recon = concatenate_datasets([first, second])
+        np.testing.assert_array_equal(
+            np.asarray(recon.features), np.asarray(dataset.features)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(recon.targets.mean), np.asarray(dataset.targets.mean)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(recon.targets.get_variance()),
+            np.asarray(dataset.targets.get_variance()),
+        )
+
+
+def test_dataset_concatenate_different_type():
+    """test_core_dataset.cc:144-173: concatenating different feature kinds
+    promotes to a variant — here a TaggedBatch via
+    concatenate_mixed_datasets, with per-kind membership preserved in the
+    interleaved order."""
+    from albatross_tpu.kernels.variants import concatenate_mixed_datasets
+
+    rng = np.random.default_rng(4)
+    int_ds = RegressionDataset.create(
+        jnp.asarray([3, 7, 1], dtype=jnp.int32),
+        jnp.asarray(rng.standard_normal(3)),
+    )
+    dbl_ds = RegressionDataset.create(
+        jnp.asarray([3.0, 7.0, 1.0]), jnp.asarray(rng.standard_normal(3))
+    )
+    recon = concatenate_mixed_datasets([int_ds, dbl_ds])
+    batch = recon.features
+    assert isinstance(batch, TaggedBatch)
+    assert recon.size == 6
+    # rows 0-2 are the int kind (tag 0), rows 3-5 the double kind (tag 1)
+    order = np.asarray(batch.order)
+    tags_by_position = np.empty(6, dtype=int)
+    start = 0
+    for tag, feats in zip(batch.tags, batch.features):
+        n = np.asarray(feats).shape[0]
+        tags_by_position[order[start : start + n]] = tag
+        start += n
+    np.testing.assert_array_equal(tags_by_position, [0, 0, 0, 1, 1, 1])
+    np.testing.assert_array_equal(
+        np.asarray(batch.features[0]), [3, 7, 1]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batch.features[1]), [3.0, 7.0, 1.0]
+    )
