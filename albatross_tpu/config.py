@@ -11,8 +11,10 @@ import jax
 # * D > 8: XLA must use the |x|^2-2xy matmul trick, which cancels
 #   catastrophically for large coordinates (2.0e-5 max error vs f64 at
 #   D=32/coords~100 even at precision=HIGHEST), while the pallas kernel's
-#   elementwise VMEM distances are exact-f32 (6.1e-10) at near-parity speed
-#   (30.4 vs 26.9 ms at N=8192) -> pallas by default.
+#   elementwise VMEM distances are exact-f32 (6.1e-10) -> pallas by
+#   default FOR ACCURACY.  Driver-reproducible speed numbers (bench.py
+#   gram_highd row, round 3): pallas 11.5 ms vs XLA 7.2 ms at N=8192/D=32
+#   — the exactness costs ~1.6x; set False to trade accuracy for speed.
 # True forces pallas everywhere, False forbids it, None = the auto policy.
 USE_PALLAS_GRAM: bool | None = None
 # minimum N*M before the fused Pallas gram engages (tiling overhead below)
