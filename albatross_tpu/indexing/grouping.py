@@ -79,6 +79,24 @@ class Grouped(Generic[K, V]):
     def first_value(self) -> V:
         return next(iter(self._data.values()))
 
+    def last_value(self) -> V:
+        return next(reversed(self._data.values()))
+
+    def first_group(self) -> tuple:
+        """(key, value) of the first (sorted) group (group_by.hpp)."""
+        return next(iter(self._data.items()))
+
+    def erase(self, key: K) -> "Grouped":
+        """Copy without ``key`` (the reference mutates; here functional)."""
+        return Grouped({k: v for k, v in self._data.items() if k != key})
+
+    def with_(self, other) -> "Grouped":
+        """Zip per-key with another key-aligned mapping → (value, other)
+        pairs (group_by.hpp ::with)."""
+        return Grouped(
+            {k: (v, other[k]) for k, v in self._data.items()}
+        )
+
     def counts(self) -> "Grouped":
         return self.apply(lambda v: len(v))
 
@@ -94,6 +112,26 @@ class Grouped(Generic[K, V]):
 
     def max(self):
         return max(self._data.values())
+
+    # explicit value/key variants (group_by.hpp min_value/max_value/
+    # min_key/max_key)
+    def min_value(self):
+        return self.min()
+
+    def max_value(self):
+        return self.max()
+
+    def min_key(self) -> K:
+        return min(self._data.items(), key=lambda kv: kv[1])[0]
+
+    def max_key(self) -> K:
+        return max(self._data.items(), key=lambda kv: kv[1])[0]
+
+    def any(self) -> bool:
+        return any(bool(v) for v in self._data.values())
+
+    def all(self) -> bool:
+        return all(bool(v) for v in self._data.values())
 
     def combine(self):
         """Concatenate per-group values back into one object, ordered by
@@ -208,6 +246,31 @@ class GroupBy:
 
     def index_apply(self, fn: Callable) -> Grouped:
         return self._indexers.apply(fn)
+
+    def get_group(self, key):
+        """The feature/dataset subset of one group (group_by.hpp)."""
+        return self.groups()[key]
+
+    def first_group(self) -> tuple:
+        return self.groups().first_group()
+
+    def with_(self, other) -> Grouped:
+        """Per-group pairing (group_by.hpp ::with): ``other`` is either a
+        parallel sequence (same length as the grouped data — split by the
+        same indexers) or an already key-aligned Grouped/mapping."""
+        if isinstance(other, (list, tuple, np.ndarray, jax.Array)) and len(
+            other
+        ) == len(self.keys):
+            paired = self._indexers.apply(
+                lambda idx: [other[int(i)] for i in idx]
+                if isinstance(other, (list, tuple))
+                else jnp.asarray(other)[jnp.asarray(idx)]
+            )
+        elif isinstance(other, Grouped):
+            paired = other
+        else:
+            paired = Grouped(other)
+        return self.groups().with_(paired)
 
     def filter(self, predicate: Callable):
         kept = self.groups().filter(predicate)

@@ -1521,3 +1521,148 @@ def test_dataset_concatenate_different_type():
     np.testing.assert_array_equal(
         np.asarray(batch.features[1]), [3.0, 7.0, 1.0]
     )
+
+
+# ---------------------------------------------------------------------------
+# test_group_by.cc — split/apply/combine surface on the fibonacci data
+# ---------------------------------------------------------------------------
+def _fibonacci(n):
+    """test_utils fibonacci(20): doubles 1, 1, 2, 3, 5, ..."""
+    out = [1.0, 1.0]
+    while len(out) < n:
+        out.append(out[-1] + out[-2])
+    return np.asarray(out[:n])
+
+
+def _number_of_digits(x):
+    return np.asarray([len(str(int(v))) for v in np.asarray(x)])
+
+
+def test_group_by_nested_filter():
+    """test_group_by.cc:432-445: split-apply-combine removal of
+    below-group-mean values equals the direct computation."""
+    fib = jnp.asarray(_fibonacci(20))
+    grouped = group_by(fib, _number_of_digits)
+    filtered = (
+        grouped.groups()
+        .apply(lambda v: v[v >= jnp.mean(v)])
+        .combine()
+    )
+    direct = []
+    keys = _number_of_digits(fib)
+    for k in sorted(set(keys.tolist())):
+        vals = np.asarray(fib)[keys == k]
+        direct.extend(vals[vals >= vals.mean()].tolist())
+    np.testing.assert_array_equal(np.asarray(filtered), np.asarray(direct))
+
+
+def test_group_by_combine_ordering():
+    """test_group_by.cc:447-460: combine concatenates by SORTED key."""
+    from albatross_tpu.indexing.grouping import Grouped
+
+    grouped = Grouped(
+        {
+            3: jnp.full((3,), 3.0),
+            1: jnp.full((1,), 1.0),
+            0: jnp.zeros((0,)),
+            5: jnp.full((5,), 5.0),
+        }
+    )
+    expected = [1.0] + [3.0] * 3 + [5.0] * 5
+    np.testing.assert_array_equal(np.asarray(grouped.combine()), expected)
+
+
+def test_group_by_first_group_and_values():
+    """test_group_by.cc:462-518."""
+    from albatross_tpu.indexing.grouping import Grouped
+
+    fib = jnp.asarray(_fibonacci(20))
+    grouped = group_by(fib, _number_of_digits)
+    key, values = grouped.first_group()
+    assert all(_number_of_digits(values) == key)
+    assert grouped.groups().first_group()[0] == key
+    np.testing.assert_array_equal(
+        np.asarray(grouped.groups().first_value()), np.asarray(values)
+    )
+
+    indexers = grouped.indexers()
+    smallest = indexers.first_value()
+    largest = indexers.last_value()
+    keys = _number_of_digits(fib)
+    assert all(keys[smallest] == keys.min())
+    assert all(keys[largest] == keys.max())
+    np.testing.assert_array_equal(smallest, np.flatnonzero(keys == keys.min()))
+    np.testing.assert_array_equal(largest, np.flatnonzero(keys == keys.max()))
+
+    example = Grouped({1: "one", 2: "two", 0: "zero"})
+    assert example.first_value() == "zero"
+    assert example.last_value() == "two"
+
+    group_2 = grouped.get_group(2)
+    assert all(_number_of_digits(group_2) == 2)
+
+
+def test_group_by_erase():
+    """test_group_by.cc:530-560 (functional erase)."""
+    fib = jnp.asarray(_fibonacci(20))
+    groups = group_by(fib, _number_of_digits).groups()
+    modified = groups.erase(2)
+    assert 2 in groups
+    assert 2 not in modified
+    for key in groups:
+        if key != 2:
+            np.testing.assert_array_equal(
+                np.asarray(groups[key]), np.asarray(modified[key])
+            )
+
+
+def test_group_by_reductions():
+    """test_group_by.cc:562-639: min/max values+keys, sum/mean, any/all."""
+    from albatross_tpu.indexing.grouping import Grouped
+
+    fib = jnp.asarray(_fibonacci(20))
+    grouped = group_by(fib, _number_of_digits)
+    sums = grouped.apply(lambda v: float(jnp.sum(v)))
+    vals = np.asarray(sums.values())
+    assert sums.min_value() == vals.min()
+    assert sums.max_value() == vals.max()
+
+    means = grouped.apply(lambda v: float(jnp.mean(v)))
+    assert means.mean() == pytest.approx(np.mean(np.asarray(means.values())))
+    assert means.sum() == pytest.approx(np.sum(np.asarray(means.values())))
+
+    example = Grouped({"one": 1, "two": 2, "negative": -5, "large": 7})
+    assert example.max_value() == 7
+    assert example.max_key() == "large"
+    assert example.min_value() == -5
+    assert example.min_key() == "negative"
+
+    counts = grouped.counts()
+    min_count, max_count = counts.min_value(), counts.max_value()
+    geq_min = grouped.apply(lambda xs: len(xs) >= min_count)
+    gt_min = grouped.apply(lambda xs: len(xs) > min_count)
+    gt_max = grouped.apply(lambda xs: len(xs) > max_count)
+    assert geq_min.all() and geq_min.any()
+    assert not gt_min.all() and gt_min.any()
+    assert not gt_max.all() and not gt_max.any()
+
+
+def test_group_by_with():
+    """test_group_by.cc:641-687: pair groups with a parallel vector and
+    with a key-aligned map."""
+    fib = jnp.asarray(_fibonacci(20))
+    grouped = group_by(fib, _number_of_digits)
+    strings = [str(float(v)) for v in np.asarray(fib)]
+    with_strings = grouped.with_(strings)
+    assert len(with_strings) > 0
+    for key, (doubles, strs) in with_strings.items():
+        for d, s in zip(np.asarray(doubles), strs):
+            assert str(float(d)) == s
+
+    as_strings = grouped.apply(
+        lambda xs: [str(float(v)) for v in np.asarray(xs)]
+    )
+    with_map = grouped.with_(as_strings)
+    for key, (doubles, strs) in with_map.items():
+        for d, s in zip(np.asarray(doubles), strs):
+            assert str(float(d)) == s
