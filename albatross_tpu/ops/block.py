@@ -70,6 +70,29 @@ class BlockDiagonal:
         idx = jnp.arange(b)
         return idx[None, :] < self.sizes[:, None]  # (G, b)
 
+    def diagonal(self) -> jnp.ndarray:
+        """Concatenated block diagonals (block_diagonal.hpp diagonal)."""
+        diags = jnp.diagonal(self.blocks, axis1=1, axis2=2)  # (G, b)
+        mask = self._mask()
+        parts = []
+        sizes = jax.device_get(self.sizes)
+        for g in range(self.num_blocks):
+            parts.append(diags[g, : int(sizes[g])])
+        del mask
+        return jnp.concatenate(parts)
+
+    def matmul(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        """Block-diagonal @ dense rhs (block_diagonal.hpp operator*)."""
+        b = self.blocks.shape[1]
+        rhs2 = rhs if rhs.ndim > 1 else rhs[:, None]
+        chunks = _split_pad(rhs2, self.sizes, b)
+        out = jnp.einsum("gij,gjm->gim", self.blocks, chunks)
+        dense = _unsplit(out, self.sizes)
+        return dense if rhs.ndim > 1 else dense[:, 0]
+
+    def __matmul__(self, rhs):
+        return self.matmul(rhs)
+
     def to_dense(self) -> jnp.ndarray:
         n = self.rows
         out = jnp.zeros((n, n), dtype=self.blocks.dtype)
@@ -292,6 +315,17 @@ def build_block_symmetric(A, B: jnp.ndarray, S_chol) -> BlockSymmetric:
     factorized Schur complement (gp.hpp:384-414 passes S = predicted joint
     covariance + new target variance, which *is* C − BᵀA⁻¹B)."""
     return BlockSymmetric(A, A.solve(B), S_chol)
+
+
+def build_block_symmetric_from_C(A, B: jnp.ndarray, C: jnp.ndarray):
+    """The reference's other overload (block_symmetric.hpp:36-60): pass the
+    raw lower-right block C; the Schur complement S = C − BᵀA⁻¹B is
+    computed and factorized here."""
+    from .linalg import CholeskyFactor
+
+    Ai_B = A.solve(B)
+    S = C - B.T @ Ai_B
+    return BlockSymmetric(A, Ai_B, CholeskyFactor.factorize(S))
 
 
 # ---------------------------------------------------------------------------

@@ -29,11 +29,29 @@ DEFAULT_BLOCK = 1024
 DEFAULT_PANEL_SUB = 512  # sub-block size for GEMM-composed panel inverses
 
 
-def auto_block_size(n: int, max_panels: int = 8) -> int:
-    """Panel size capped at ~max_panels panels: unrolled-program size (and
-    the remote compiler's appetite) grows with the panel count, while MXU
-    efficiency prefers panels >= 1024."""
-    b = max(DEFAULT_BLOCK, -(-n // max_panels))
+def auto_block_size(n: int, max_panels: int = 16) -> int:
+    """Panel size choice.
+
+    Measured on v5e at N=28672 (benchmarks/exp_chol_block.py, round 3):
+    b=2048 beats 3584 and 4096 for BOTH the assembled factor (50.6 vs
+    48.4/47.0 TF/s) and the no-assemble NLML path (72.2 vs 66.4/62.3) —
+    smaller panels shrink the latency-bound panel factorization and the
+    O(n·b) copies more than they cost in GEMM efficiency.  So: prefer the
+    smallest 128-aligned divisor of n that is ≥ 2048 with at most
+    ``max_panels`` panels (unrolled-program size — and the remote
+    compiler's appetite — grows as panels²); fall back to the old
+    ceil(n/8) formula when no such divisor exists."""
+    best = None
+    for g in range(max_panels, 1, -1):
+        if n % g != 0:
+            continue
+        b = n // g
+        if b >= 2048 and b % 128 == 0:
+            best = b
+            break
+    if best is not None:
+        return best
+    b = max(DEFAULT_BLOCK, -(-n // 8))
     return -(-b // 128) * 128  # round up to the 128-lane boundary
 
 

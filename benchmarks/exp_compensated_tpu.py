@@ -43,8 +43,10 @@ def main():
     y32 = jnp.sin(0.3 * x) + 0.1 * jnp.asarray(
         rng.standard_normal(N), dtype=jnp.float32
     )
+    # noise 0.1 (1e-2 nugget): conditioning interesting but factorizable in
+    # f32 (the first run with noise 0.03 NaN'd the f32 Cholesky outright)
     kernel = ab.SquaredExponential(5.0, 1.0) + ab.measurement_only(
-        ab.IndependentNoise(0.03, assume_unique=True)
+        ab.IndependentNoise(0.1, assume_unique=True)
     )
     K32 = jax.jit(lambda x: kernel(as_measurement(x)))(x)
     float(K32[0, 0])  # sync

@@ -1666,3 +1666,128 @@ def test_group_by_with():
     for key, (doubles, strs) in with_map.items():
         for d, s in zip(np.asarray(doubles), strs):
             assert str(float(d)) == s
+
+
+# ---------------------------------------------------------------------------
+# test_serializable_ldlt.cc — the factorization capability surface
+# (CholeskyFactor replaces Eigen::SerializableLDLT)
+# ---------------------------------------------------------------------------
+def test_serializable_ldlt_surface():
+    """test_serializable_ldlt.cc:34-70: solve == dense solve, inverse
+    diagonal, log det, and the sqrt-solve outer-product identity."""
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    rng = np.random.default_rng(5)
+    n = 5
+    part = rng.standard_normal((n, n))
+    cov = jnp.asarray(part @ part.T + n * np.eye(n))
+    information = jnp.ones((n,))
+    chol = CholeskyFactor.factorize(cov)
+
+    np.testing.assert_allclose(
+        np.asarray(chol.solve(information)),
+        np.linalg.solve(np.asarray(cov), np.asarray(information)),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(chol.inverse_diagonal()),
+        np.diagonal(np.linalg.inv(np.asarray(cov))),
+        atol=1e-8,
+    )
+    assert float(chol.log_determinant()) == pytest.approx(
+        float(np.linalg.slogdet(np.asarray(cov))[1]), abs=1e-8
+    )
+    actual = np.asarray(chol.sqrt_solve(information))
+    L = np.linalg.cholesky(np.asarray(cov))
+    expected = np.linalg.solve(L, np.asarray(information))
+    # sqrt solves are unique only up to orthogonal transforms: compare the
+    # outer product (test_serializable_ldlt.cc:58-70)
+    assert actual @ actual == pytest.approx(expected @ expected, abs=1e-4)
+    # applied twice it produces the inverse
+    eye = np.eye(n)
+    sq = np.asarray(chol.sqrt_solve(jnp.asarray(eye)))
+    np.testing.assert_allclose(
+        sq.T @ sq, np.linalg.inv(np.asarray(cov)), atol=1e-8
+    )
+
+
+# ---------------------------------------------------------------------------
+# test_block_utils.cc — BlockDiagonal + BlockSymmetric surface
+# ---------------------------------------------------------------------------
+def _block_example(rng):
+    from albatross_tpu.ops.block import BlockDiagonal
+
+    blocks = []
+    n, k = 6, 3
+    dense = np.zeros((n, n))
+    for i in range(2):
+        m = rng.standard_normal((k, k))
+        m = m.T @ m + np.eye(k)
+        blocks.append(jnp.asarray(m))
+        dense[i * k : (i + 1) * k, i * k : (i + 1) * k] = m
+    return BlockDiagonal.from_blocks(blocks), dense
+
+
+def test_block_utils_surface():
+    """test_block_utils.cc:45-123: to_dense, ldlt solve identity + log det,
+    diagonal, dot product, vector solve, sqrt methods."""
+    rng = np.random.default_rng(6)
+    block, dense = _block_example(rng)
+    np.testing.assert_allclose(np.asarray(block.to_dense()), dense, atol=1e-6)
+
+    chol = block.factorize()
+    ident = np.asarray(chol.solve(jnp.asarray(dense)))
+    np.testing.assert_allclose(ident, np.eye(6), atol=1e-8)
+    assert float(jnp.exp(chol.log_determinant())) == pytest.approx(
+        np.linalg.det(dense), rel=1e-8
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(block.diagonal()), np.diagonal(dense), atol=1e-6
+    )
+    rhs = jnp.asarray(rng.standard_normal((6, 3)))
+    np.testing.assert_allclose(
+        np.asarray(block @ rhs), dense @ np.asarray(rhs), atol=1e-6
+    )
+    v = jnp.asarray(rng.standard_normal(6))
+    np.testing.assert_allclose(
+        np.asarray(chol.solve(v)), np.linalg.solve(dense, np.asarray(v)),
+        atol=1e-6,
+    )
+    # sqrt methods: compare outer products (not unique)
+    bs = np.asarray(chol.sqrt_solve(rhs))
+    L = np.linalg.cholesky(dense)
+    ds = np.linalg.solve(L, np.asarray(rhs))
+    np.testing.assert_allclose(bs.T @ bs, ds.T @ ds, atol=1e-6)
+
+
+def test_block_symmetric_solve():
+    """test_block_utils.cc:125-147: both build_block_symmetric forms equal
+    the dense solve."""
+    from albatross_tpu.ops.block import (
+        build_block_symmetric,
+        build_block_symmetric_from_C,
+    )
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    rng = np.random.default_rng(2012)
+    part = rng.standard_normal((5, 5))
+    X = part @ part.T + 5 * np.eye(5)
+    rhs = jnp.asarray(rng.standard_normal((5, 3)))
+    expected = np.linalg.solve(X, np.asarray(rhs))
+
+    A = X[:3, :3]
+    B = jnp.asarray(X[:3, 3:])
+    C = jnp.asarray(X[3:, 3:])
+    A_chol = CholeskyFactor.factorize(jnp.asarray(A))
+
+    block = build_block_symmetric_from_C(A_chol, B, C)
+    np.testing.assert_allclose(np.asarray(block.solve(rhs)), expected, rtol=1e-8)
+
+    S = np.asarray(C) - np.asarray(B).T @ np.linalg.solve(A, np.asarray(B))
+    direct = build_block_symmetric(
+        A_chol, B, CholeskyFactor.factorize(jnp.asarray(S))
+    )
+    np.testing.assert_allclose(
+        np.asarray(direct.solve(rhs)), expected, rtol=1e-8
+    )
