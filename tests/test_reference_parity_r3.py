@@ -1791,3 +1791,74 @@ def test_block_symmetric_solve():
     np.testing.assert_allclose(
         np.asarray(direct.solve(rhs)), expected, rtol=1e-8
     )
+
+
+# ---------------------------------------------------------------------------
+# test_indexing.cc — subset / set_subset semantics
+# ---------------------------------------------------------------------------
+def test_indexing_subset_semantics():
+    """test_indexing.cc:20-50: reorder, duplicates, singletons, identity,
+    and empty subsets (via the array indexing the framework's subset
+    helpers delegate to, plus subset_features)."""
+    from albatross_tpu.core.dataset import subset_features
+
+    x = jnp.asarray([3, 6, 4, 7, 9])
+    cases = [
+        ([1, 2], [6, 4]),
+        ([2, 1], [4, 6]),
+        ([3, 3], [7, 7]),
+        ([2], [4]),
+        ([0, 1, 2, 3, 4], [3, 6, 4, 7, 9]),
+        ([], []),
+    ]
+    for idx, expected in cases:
+        got = subset_features(x, jnp.asarray(idx, dtype=jnp.int32))
+        np.testing.assert_array_equal(np.asarray(got), expected)
+
+
+def test_indexing_set_subset_semantics():
+    """test_indexing.cc:52-107 via MarginalDistribution.set_subset."""
+    from albatross_tpu.core.distributions import MarginalDistribution
+
+    x = jnp.asarray([3.0, 6.0, 4.0, 7.0, 9.0])
+    cases = [
+        ([1, 2], [-1.0, -2.0], [3.0, -1.0, -2.0, 7.0, 9.0]),
+        ([2, 1], [-1.0, -2.0], [3.0, -2.0, -1.0, 7.0, 9.0]),
+        ([3, 3], [-1.0, -2.0], [3.0, 6.0, 4.0, -2.0, 9.0]),
+        ([2], [-1.0], [3.0, 6.0, -1.0, 7.0, 9.0]),
+        (
+            [0, 1, 2, 3, 4],
+            [-1.0, -2.0, -3.0, -4.0, -5.0],
+            [-1.0, -2.0, -3.0, -4.0, -5.0],
+        ),
+        ([], [], [3.0, 6.0, 4.0, 7.0, 9.0]),
+    ]
+    for idx, frm, expected in cases:
+        to = MarginalDistribution(x, jnp.ones((5,)))
+        out = to.set_subset(
+            jnp.asarray(idx, dtype=jnp.int32),
+            MarginalDistribution(
+                jnp.asarray(frm), jnp.ones((len(frm),))
+            ),
+        )
+        np.testing.assert_array_equal(np.asarray(out.mean), expected)
+
+
+def test_indexing_matrix_subsets():
+    """test_indexing.cc:216-334: column / row / symmetric matrix subsets
+    (the symmetric case through JointDistribution.subset)."""
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((5, 5))
+    idx = [3, 1]
+    np.testing.assert_array_equal(
+        np.asarray(jnp.asarray(M)[:, jnp.asarray(idx)]), M[:, idx]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.asarray(M)[jnp.asarray(idx), :]), M[idx, :]
+    )
+    S = M @ M.T
+    joint = JointDistribution(jnp.zeros((5,)), jnp.asarray(S))
+    sub = joint.subset(jnp.asarray(idx))
+    np.testing.assert_array_equal(
+        np.asarray(sub.covariance), S[np.ix_(idx, idx)]
+    )
