@@ -1862,3 +1862,158 @@ def test_indexing_matrix_subsets():
     np.testing.assert_array_equal(
         np.asarray(sub.covariance), S[np.ix_(idx, idx)]
     )
+
+
+# ---------------------------------------------------------------------------
+# test_parameter_handling_mixin.cc — parameter store semantics
+# ---------------------------------------------------------------------------
+def test_param_get_set_functional():
+    """test_parameter_handling_mixin.cc:23-44 (+197-218): the returned
+    store is a copy — mutating it does not touch the model; set_params
+    sticks (functional setters here, same observable behavior)."""
+    from albatross_tpu.core.parameters import Parameter
+
+    model = gp_from_covariance(
+        SquaredExponential(1.0, 2.0) + IndependentNoise(0.5)
+    )
+    params = model.get_params()
+    bumped = {k: Parameter(float(p.value) + 1.0, p.prior) for k, p in params.items()}
+    # the original model is unchanged by building a modified store
+    for k, p in model.get_params().items():
+        assert float(p.value) == float(params[k].value)
+    m2 = model.set_params(bumped)
+    for k, p in m2.get_params().items():
+        assert float(p.value) == float(params[k].value) + 1.0
+
+
+def test_param_vector_is_ordered():
+    """test_parameter_handling_mixin.cc:46-90: the tunable vector order is
+    independent of the insertion order (sorted names)."""
+    from albatross_tpu.core.parameters import (
+        Parameter,
+        get_tunable_parameters,
+        set_tunable_params,
+    )
+
+    ordered = {"1": Parameter(1.0), "2": Parameter(2.0), "3": Parameter(3.0)}
+    unordered = {"2": Parameter(2.0), "1": Parameter(1.0), "3": Parameter(3.0)}
+    np.testing.assert_array_equal(
+        np.asarray(get_tunable_parameters(ordered).values),
+        np.asarray(get_tunable_parameters(unordered).values),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(get_tunable_parameters(unordered).values), [1.0, 2.0, 3.0]
+    )
+    updated = set_tunable_params(unordered, jnp.asarray([4.0, 5.0, 6.0]))
+    np.testing.assert_array_equal(
+        np.asarray(get_tunable_parameters(updated).values), [4.0, 5.0, 6.0]
+    )
+
+
+def test_param_vector_skips_fixed():
+    """test_parameter_handling_mixin.cc:92-116."""
+    from albatross_tpu.core.parameters import (
+        Parameter,
+        get_tunable_parameters,
+        set_tunable_params,
+    )
+    from albatross_tpu.core.priors import FixedPrior
+
+    store = {
+        "1": Parameter(1.0),
+        "2": Parameter(2.0),
+        "foo": Parameter(-2.0, FixedPrior()),
+        "3": Parameter(3.0),
+    }
+    np.testing.assert_array_equal(
+        np.asarray(get_tunable_parameters(store).values), [1.0, 2.0, 3.0]
+    )
+    updated = set_tunable_params(store, jnp.asarray([4.0, 5.0, 6.0]))
+    np.testing.assert_array_equal(
+        np.asarray(get_tunable_parameters(updated).values), [4.0, 5.0, 6.0]
+    )
+    assert float(updated["foo"].value) == -2.0
+
+
+def test_param_prior_log_likelihood():
+    """test_parameter_handling_mixin.cc:118-133: prior LL is the sum of
+    per-parameter prior log-pdfs."""
+    from albatross_tpu.core.parameters import Parameter
+    from albatross_tpu.core.priors import GaussianPrior, UninformativePrior
+
+    model = gp_from_covariance(SquaredExponential(1.0, 2.0))
+    params = model.get_params()
+    names = sorted(params)
+    a, b = names[0], names[1]
+    gauss = GaussianPrior(3.0, 5.0)
+    uninf = UninformativePrior()
+    m = model.set_param(a, Parameter(params[a].value, gauss))
+    m = m.set_param(b, Parameter(params[b].value, uninf))
+    expected = float(gauss.log_pdf(params[a].value)) + float(
+        uninf.log_pdf(params[b].value)
+    )
+    assert float(m.prior_log_likelihood()) == pytest.approx(expected)
+
+
+def test_param_set_value_preserves_prior():
+    """test_parameter_handling_mixin.cc:135-195: changing values (set_param_
+    value / set_param_values) must not touch priors, and adding priors must
+    not touch values."""
+    from albatross_tpu.core.parameters import Parameter
+    from albatross_tpu.core.priors import GaussianPrior
+
+    model = gp_from_covariance(
+        SquaredExponential(1.0, 2.0) + IndependentNoise(0.5)
+    )
+    orig = model.get_params()
+    orig_vec = np.asarray(model.get_tunable_parameters().values)
+
+    with_priors = model
+    for name, p in orig.items():
+        with_priors = with_priors.set_param(
+            name, Parameter(p.value, GaussianPrior(float(p.value) + 1.0, 1.0))
+        )
+    # values unchanged by adding priors
+    np.testing.assert_array_equal(
+        np.asarray(with_priors.get_tunable_parameters().values), orig_vec
+    )
+    # set_param_value keeps the prior
+    for name in orig:
+        bumped = with_priors.set_param_value(
+            name, float(orig[name].value) + 3.14159
+        )
+        assert (
+            bumped.get_params()[name].prior
+            == with_priors.get_params()[name].prior
+        )
+    # set_param_values (bulk) keeps every prior
+    bulk = with_priors.set_param_values(
+        {name: float(p.value) + 1.0 for name, p in orig.items()}
+    )
+    for name in orig:
+        assert float(bulk.get_params()[name].value) == float(
+            orig[name].value
+        ) + 1.0
+        assert (
+            bulk.get_params()[name].prior
+            == with_priors.get_params()[name].prior
+        )
+
+
+def test_param_set_if_exists():
+    """test_parameter_handling_mixin.cc:221-247: setting a nonexistent name
+    through the if-exists form is a no-op; existing names stick."""
+    model = gp_from_covariance(
+        SquaredExponential(1.0, 2.0) + IndependentNoise(0.5)
+    )
+    orig = model.get_params()
+    same = model.set_param_values_if_exists({"dummy": np.sqrt(2.0)})
+    for name, p in same.get_params().items():
+        assert float(p.value) == float(orig[name].value)
+    for name in orig:
+        updated = model.set_param_values_if_exists(
+            {name: float(orig[name].value) + 3.14159}
+        )
+        assert float(updated.get_params()[name].value) == pytest.approx(
+            float(orig[name].value) + 3.14159
+        )
