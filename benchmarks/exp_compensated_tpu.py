@@ -76,57 +76,66 @@ def main():
     print(json.dumps({"metric": "oracle_nll", "value": nll64,
                       "unit": f"kappa_proxy~{kappa_proxy:.2e}"}))
 
+    # ---- oracle decomposition ----------------------------------------------
+    ld64 = 2.0 * np.sum(np.log(np.diag(L64)))
+    q64 = w64 @ w64
+
     # ---- device ladder -----------------------------------------------------
-    @jax.jit
-    def plain_nll(K, y):
-        chol, white = CholeskyFactor.factorize_whiten(
-            K, y, assume_symmetric=True
-        )
-        return 0.5 * (
-            chol.log_determinant()
-            + jnp.sum(white * white)
-            + N * math.log(2.0 * math.pi)
-        )
+    # Plain single-pass bf16 NaNs outright at this conditioning on TPU (the
+    # first ladder run) — every factorization below runs at the named
+    # precision; the decomposition separates the log-det (pure factorization
+    # quality) from the quadratic (solve + reduction + refinement).
+    from albatross_tpu.ops.compensated import (
+        dw_log_determinant,
+        refined_quadratic,
+    )
 
-    @jax.jit
-    def comp_nll(K, y):
-        chol = CholeskyFactor.factorize(K, assume_symmetric=True)
-        return compensated_nll(chol, K, y)
+    def parts(tag, precision):
+        def f(K, y):
+            chol, white = CholeskyFactor.factorize_whiten(
+                K, y, assume_symmetric=True
+            )
+            ldh, ldl = dw_log_determinant(chol.L)
+            qh, ql = refined_quadratic(chol, K, y)
+            return (
+                chol.log_determinant(),
+                jnp.sum(white * white),
+                ldh + ldl,
+                qh + ql,
+            )
 
-    def run(tag, fn):
-        t0 = time.perf_counter()
-        val = float(fn(K32, y32))
-        dt = time.perf_counter() - t0  # includes compile on first call
-        val = float(fn(K32, y32))
-        t0 = time.perf_counter()
-        val = float(fn(K32, y32))
-        dt = time.perf_counter() - t0
-        rel = abs(val - nll64) / abs(nll64)
+        try:
+            config.CHOLESKY_PRECISION = precision
+            jf = jax.jit(f)
+            out = jf(K32, y32)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = jf(K32, y32)
+            ld_p, q_p, ld_c, q_c = (float(v) for v in out)
+            dt = time.perf_counter() - t0
+        finally:
+            config.CHOLESKY_PRECISION = None
+        nll_plain = 0.5 * (ld_p + q_p + N * math.log(2.0 * math.pi))
+        nll_comp = 0.5 * (ld_c + q_c + N * math.log(2.0 * math.pi))
         print(json.dumps({
-            "metric": f"nll_rel_err_{tag}_n{N}",
-            "value": rel,
-            "unit": f"vs f64 oracle; {dt * 1e3:.0f} ms/eval",
+            "metric": f"nll_ladder_{tag}_n{N}",
+            "value": abs(nll_comp - nll64) / abs(nll64),
+            "unit": (
+                f"compensated rel; plain rel="
+                f"{abs(nll_plain - nll64) / abs(nll64):.3e}; "
+                f"logdet rel plain={abs(ld_p - ld64) / abs(ld64):.3e} "
+                f"comp={abs(ld_c - ld64) / abs(ld64):.3e}; "
+                f"quad rel plain={abs(q_p - q64) / abs(q64):.3e} "
+                f"comp={abs(q_c - q64) / abs(q64):.3e}; {dt * 1e3:.0f} ms"
+            ),
         }), flush=True)
-        return rel
 
-    rel_plain = run("plain_f32", plain_nll)
-    rel_comp = run("compensated", comp_nll)
-    try:
-        config.CHOLESKY_PRECISION = "high"
-
-        @jax.jit
-        def comp_high(K, y):
-            chol = CholeskyFactor.factorize(K, assume_symmetric=True)
-            return compensated_nll(chol, K, y)
-
-        rel_comp_high = run("compensated_cholhigh", comp_high)
-    finally:
-        config.CHOLESKY_PRECISION = None
-    print(json.dumps({
-        "metric": "compensated_improvement",
-        "value": rel_plain / max(rel_comp, 1e-16),
-        "unit": f"x better; high-prec chol variant rel={rel_comp_high:.3e}",
-    }))
+    for tag, precision in (
+        ("1pass", None),
+        ("cholhigh", "high"),
+        ("cholhighest", "highest"),
+    ):
+        parts(tag, precision)
 
 
 if __name__ == "__main__":
