@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 DEFAULT_BLOCK = 1024
-DEFAULT_PANEL_SUB = 512  # sub-block size for GEMM-composed panel inverses
+# sub-block size for GEMM-composed panel inverses.  Round-3 sweep
+# (benchmarks/exp_chol_sub.py, N=28672, no-assemble path): sub=256 beats
+# 512/None at both b=1792 (77.8 vs 74.1 TF/s) and b=2048 (76.6 vs 72.8).
+DEFAULT_PANEL_SUB = 256
 
 
 def auto_block_size(n: int, max_panels: int = 16) -> int:
@@ -34,10 +37,12 @@ def auto_block_size(n: int, max_panels: int = 16) -> int:
 
     Measured on v5e at N=28672 (benchmarks/exp_chol_block.py, round 3):
     b=2048 beats 3584 and 4096 for BOTH the assembled factor (50.6 vs
-    48.4/47.0 TF/s) and the no-assemble NLML path (72.2 vs 66.4/62.3) —
-    smaller panels shrink the latency-bound panel factorization and the
-    O(n·b) copies more than they cost in GEMM efficiency.  So: prefer the
-    smallest 128-aligned divisor of n that is ≥ 2048 with at most
+    48.4/47.0 TF/s) and the no-assemble NLML path (72.2 vs 66.4/62.3), and
+    the follow-up sub sweep (exp_chol_sub.py) found b=1792/sub=256 best
+    (77.8 TF/s) — smaller panels shrink the latency-bound panel
+    factorization and the O(n·b) copies more than they cost in GEMM
+    efficiency.  So: prefer the smallest 128-aligned divisor of n ≥ 1792
+    with at most
     ``max_panels`` panels (unrolled-program size — and the remote
     compiler's appetite — grows as panels²); fall back to the old
     ceil(n/8) formula when no such divisor exists."""
@@ -46,7 +51,7 @@ def auto_block_size(n: int, max_panels: int = 16) -> int:
         if n % g != 0:
             continue
         b = n // g
-        if b >= 2048 and b % 128 == 0:
+        if b >= 1792 and b % 128 == 0:
             best = b
             break
     if best is not None:

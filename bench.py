@@ -215,6 +215,40 @@ def _extra_benchmarks():
         f"walker-steps/s ({iters} iters in {dt:.2f}s)",
     )
 
+    # -- NLML value+grad: the tuning hot loop (exact gradients the
+    # reference can only finite-difference) --------------------------------
+    ng = 8192
+    xg = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, ng)), dtype=jnp.float32)
+    gdata = ab.RegressionDataset.create(xg, jnp.sin(0.3 * xg))
+    gmodel = ab.gp_from_covariance(
+        ab.SquaredExponential(0.5, 1.0)
+        + ab.measurement_only(ab.IndependentNoise(0.3, assume_unique=True)),
+        jitter=1e-4,
+    )
+
+    @jax.jit
+    def value_and_grad_step(model, data, prev):
+        m = model.set_param_value(
+            "squared_exponential_length_scale", jnp.float32(0.5) + 1e-30 * prev
+        )
+        v, g = jax.value_and_grad(lambda mm: -mm.log_likelihood(data))(m)
+        return v
+
+    prev = value_and_grad_step(gmodel, gdata, jnp.float32(0.0))
+    float(prev)
+    R = 8
+    t0 = time.perf_counter()
+    p = jnp.float32(0.0)
+    for _ in range(R):
+        p = value_and_grad_step(gmodel, gdata, p)
+    float(p)
+    dt = (time.perf_counter() - t0) / R
+    emit(
+        f"nlml_value_and_grad_evals_per_s_n{ng}",
+        1.0 / dt,
+        f"evals/s ({dt * 1e3:.1f} ms/eval)",
+    )
+
     # -- high-D gram: fused pallas vs XLA matmul-trick (config.py policy) ----
     # the auto policy (pallas for D >= 9) rests on these numbers; emitting
     # them makes the policy a reproducible artifact (VERDICT r2 weak #4).
