@@ -24,6 +24,8 @@ from .metrics import (
     StandardDeviation,
     crps_normal,
     energy_score,
+    expected_abs_normal_1,
+    expected_abs_normal_2,
     negative_log_likelihood_joint,
     negative_log_likelihood_marginal,
     variogram_score,

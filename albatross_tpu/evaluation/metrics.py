@@ -128,13 +128,19 @@ class ChiSquaredCdf(PredictionMetric):
 # ---------------------------------------------------------------------------
 def crps_normal(mu, sigma, y):
     """Closed-form CRPS for a univariate normal
-    (prediction_metrics.hpp:349-364)."""
+    (prediction_metrics.hpp:347-364): non-finite inputs -> NaN, sigma <= 0
+    degenerates to the absolute error."""
     mu = jnp.asarray(mu, dtype=jnp.result_type(mu, float))
-    z = (y - mu) / sigma
+    sigma = jnp.asarray(sigma, dtype=mu.dtype)
+    y = jnp.asarray(y, dtype=mu.dtype)
+    safe_sigma = jnp.where(sigma > 0.0, sigma, 1.0)
+    z = (y - mu) / safe_sigma
     erfz = jax.scipy.special.erf(z / math.sqrt(2.0))
     phi = jnp.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
-    crps = sigma * (z * erfz + 2.0 * phi - 1.0 / math.sqrt(math.pi))
-    return jnp.where(sigma <= 0.0, jnp.abs(y - mu), crps)
+    crps = safe_sigma * (z * erfz + 2.0 * phi - 1.0 / math.sqrt(math.pi))
+    out = jnp.where(sigma <= 0.0, jnp.abs(y - mu), crps)
+    finite = jnp.isfinite(mu) & jnp.isfinite(sigma) & jnp.isfinite(y)
+    return jnp.where(finite, out, jnp.nan)
 
 
 class Crps(PredictionMetric):
@@ -145,6 +151,25 @@ class Crps(PredictionMetric):
     def evaluate(self, prediction: MarginalDistribution, truth):
         sigma = jnp.sqrt(prediction.get_variance() + truth.get_variance())
         return jnp.mean(crps_normal(prediction.mean, sigma, truth.mean))
+
+
+def _sampling_sqrt(covariance, rel_tol: float = 1.0e-8):
+    """PSD square root for MVN sampling.
+
+    The reference samples through Eigen's LDLT (prediction_metrics.hpp:
+    190-219 draw_mvn), which succeeds for singular-but-semidefinite
+    covariances — exactly what GP posterior joints look like — and asserts
+    on indefinite input.  A raw Cholesky would NaN there, so we use an
+    eigendecomposition, clamp f32-roundoff negatives at zero, and (eagerly)
+    raise on grossly indefinite input like the reference's assert.
+    """
+    covariance = 0.5 * (covariance + covariance.T)
+    vals, vecs = jnp.linalg.eigh(covariance)
+    if not isinstance(vals, jax.core.Tracer):
+        scale = float(jnp.maximum(jnp.max(jnp.abs(vals)), 1.0))
+        if float(jnp.min(vals)) < -rel_tol * scale:
+            raise ValueError("Please pass a positive definite covariance!")
+    return vecs * jnp.sqrt(jnp.maximum(vals, 0.0))[None, :]
 
 
 def _draw_mvn_antithetic(key, mean, chol_L, num_samples):
@@ -164,7 +189,33 @@ def energy_score(
     num_samples: int = ENERGY_SCORE_DEFAULT_SAMPLES,
 ):
     """ES(F, y) = E‖X − y‖ − ½ E‖X − X′‖ via paired antithetic MC
-    (prediction_metrics.hpp:387-463)."""
+    (prediction_metrics.hpp:387-463).
+
+    Per-dimension ``weights`` follow the reference's own asymmetry
+    (prediction_metrics.hpp:221-256): the mean-error term weights the
+    SQUARED errors (sqrt(Σ wᵢ eᵢ²)) while the pairwise term scales the
+    errors linearly (sqrt(Σ wᵢ² eᵢ²)); uniform weights match no weights
+    either way.
+    """
+    if num_samples <= 1:
+        raise ValueError(
+            "Cannot form an MC approximation with 1 or fewer samples"
+        )
+    n = int(prediction.mean.shape[0])
+    n_truth = int(
+        truth.mean.shape[0]
+        if isinstance(truth, MarginalDistribution)
+        else jnp.shape(jnp.asarray(truth))[0]
+    )
+    if n != n_truth:
+        raise ValueError(
+            "Predictive distribution and truth have different sizes!"
+        )
+    if weights is not None and jnp.shape(jnp.asarray(weights)) != (n,):
+        raise ValueError(
+            "Energy score weights must be a vector matched to the size "
+            "of the problem!"
+        )
     if isinstance(truth, MarginalDistribution):
         prediction = JointDistribution(
             prediction.mean,
@@ -178,7 +229,7 @@ def energy_score(
         if weights is None
         else jnp.asarray(weights)
     )
-    L = jnp.linalg.cholesky(prediction.covariance)
+    L = _sampling_sqrt(prediction.covariance)
     key_a, key_b = jax.random.split(jax.random.PRNGKey(seed))
     samples_a = _draw_mvn_antithetic(key_a, prediction.mean, L, num_samples)
     samples_b = _draw_mvn_antithetic(key_b, prediction.mean, L, num_samples)
@@ -197,13 +248,26 @@ def energy_score(
     return jnp.maximum(0.0, es)
 
 
-def _expected_abs_normal_1(mu, sigma):
-    """E|N(mu, sigma²)| (prediction_metrics.hpp:301-320, Winkelbauer Eq 17)."""
+def expected_abs_normal_1(mu, sigma):
+    """E|N(mu, sigma²)| (prediction_metrics.hpp:286-302, Winkelbauer Eq 17);
+    non-finite inputs -> NaN, sigma <= 0 -> point mass |mu|."""
+    mu = jnp.asarray(mu, dtype=jnp.result_type(mu, float))
     normalized = jnp.abs(mu) / jnp.maximum(1e-16, sigma)
     val = sigma * math.sqrt(2.0 / math.pi) * jnp.exp(
         -0.5 * normalized * normalized
     ) + jnp.abs(mu) * jax.scipy.special.erf(normalized / math.sqrt(2.0))
-    return jnp.where(sigma <= 0.0, jnp.abs(mu), val)
+    out = jnp.where(sigma <= 0.0, jnp.abs(mu), val)
+    finite = jnp.isfinite(mu) & jnp.isfinite(sigma)
+    return jnp.where(finite, out, jnp.nan)
+
+
+def expected_abs_normal_2(mu, sigma):
+    """E[(N(mu, sigma²))²] = mu² + sigma²
+    (prediction_metrics.hpp:304-307)."""
+    return mu * mu + sigma * sigma
+
+
+_expected_abs_normal_1 = expected_abs_normal_1  # backwards-compat alias
 
 
 def variogram_score(
@@ -218,6 +282,16 @@ def variogram_score(
     truth_mean = (
         truth.mean if isinstance(truth, MarginalDistribution) else jnp.asarray(truth)
     )
+    n = int(prediction.mean.shape[0])
+    if int(truth_mean.shape[0]) != n:
+        raise ValueError(
+            "Predictive distribution and truth have different sizes!"
+        )
+    if weights is not None and jnp.shape(jnp.asarray(weights)) != (n, n):
+        raise ValueError(
+            "Variogram score weights must be a square matrix matched to "
+            "the size of the problem!"
+        )
     mu = prediction.mean
     cov = prediction.covariance
     d_mu = mu[:, None] - mu[None, :]

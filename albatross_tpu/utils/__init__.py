@@ -3,7 +3,11 @@ from .csv import read_csv_columns, read_csv_dataset, write_to_csv
 from .graph import (
     Edge,
     Graph,
+    compute_vertices,
+    create_graph,
+    maximum_spanning_forest,
     maximum_spanning_tree,
+    minimum_spanning_forest,
     minimum_spanning_tree,
 )
 from .profiling import named_scope, trace, wall_timer

@@ -32,6 +32,7 @@ from albatross_tpu.utils import (
     Graph,
     chebyshev_t,
     chebyshev_t_phi,
+    minimum_spanning_forest,
     minimum_spanning_tree,
     read_csv_dataset,
     sample_mvn,
@@ -175,7 +176,7 @@ def test_native_mst_matches_python():
     g = Graph()
     for i in range(n_e):
         g.add_edge(int(a[i]), int(b[i]), float(cost[i]))
-    mst = minimum_spanning_tree(g)
+    mst = minimum_spanning_forest(g)
     assert mask.sum() == len(mst.edges)
     assert cost[mask].sum() == pytest.approx(sum(e.cost for e in mst.edges))
 
