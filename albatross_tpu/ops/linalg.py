@@ -399,4 +399,9 @@ def truncated_psd_solve(A: jnp.ndarray, rhs: jnp.ndarray, rtol: float = 1e-12):
 
 
 def vertical_stack(blocks: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Stack matrices row-wise, or concatenate vectors
+    (eigen_utils.hpp vertical_stack matrix/vector overloads)."""
+    blocks = [jnp.asarray(b) for b in blocks]
+    if blocks and all(b.ndim == 1 for b in blocks):
+        return jnp.concatenate(blocks, axis=0)
     return jnp.concatenate([jnp.atleast_2d(b) for b in blocks], axis=0)

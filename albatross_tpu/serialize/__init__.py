@@ -3,6 +3,7 @@ from .checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
+from .compression import compress, decompress, maybe_decompress
 from .params_json import (
     load_params,
     params_from_dict,

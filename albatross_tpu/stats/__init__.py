@@ -1,6 +1,6 @@
 from .chi_squared import chi_squared_cdf, chi_squared_cdf_value
 from .gauss_legendre import gauss_legendre_points
-from .gaussian import gaussian_log_pdf
+from .gaussian import gaussian_log_pdf, gaussian_pdf
 from .incomplete_gamma import (
     lower_incomplete_gamma,
     regularized_lower_incomplete_gamma,

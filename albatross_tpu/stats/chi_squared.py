@@ -16,12 +16,14 @@ def chi_squared_cdf_value(x, k):
     """CDF of chi² with k degrees of freedom at x: P(k/2, x/2)."""
     x = jnp.asarray(x, dtype=jnp.result_type(x, float))
     k = jnp.asarray(k, dtype=x.dtype)
-    # k == 0: point mass at zero (chi_squared.hpp handles k=0 explicitly)
-    return jnp.where(
+    # k == 0: point mass at zero; x < 0 is outside the support -> NaN
+    # (chi_squared.hpp handles both explicitly; test_stats.cc:65-84)
+    cdf = jnp.where(
         k <= 0.0,
-        jnp.where(x >= 0.0, 1.0, 0.0),
-        regularized_lower_incomplete_gamma(k / 2.0, x / 2.0),
+        1.0,
+        regularized_lower_incomplete_gamma(k / 2.0, jnp.maximum(x, 0.0) / 2.0),
     )
+    return jnp.where(jnp.isnan(x) | (x < 0.0), jnp.nan, cdf)
 
 
 def chi_squared_cdf(deviation, covariance) -> jnp.ndarray:
