@@ -28,7 +28,11 @@ PALLAS_GRAM_AUTO_MIN_D: int = 9
 # updates, panel GEMMs escalate to 3-pass automatically at N>=32768 where
 # single-pass NaNs); "high" = 3-pass bf16 on ALL factorization GEMMs
 # (~f32-faithful, ~2-3x slower, measured NLML-vs-f64 error ladder in
-# CLAUDE.md).  Read by CholeskyFactor._factor_core.
+# CLAUDE.md); "double_word" = maximum fidelity — double-word-carry
+# trailing matrix + exact-product BF16x9 GEMMs
+# (ops/compensated.py blocked_cholesky_dw; attacks the ~2e-6 on-chip
+# log-det floor that 3-pass products leave).  Read by
+# CholeskyFactor._factor_core / nlml_terms.
 CHOLESKY_PRECISION: str | None = None
 
 # NLML accuracy mode (ops/compensated.py): double-word (two-float)

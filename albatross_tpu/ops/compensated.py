@@ -168,6 +168,118 @@ def refined_quadratic(
     return two_sum(qh, ql + corr)
 
 
+def _exact_product_precision():
+    """Strongest dot fidelity the backend offers.
+
+    On TPU, ``BF16_BF16_F32_X9`` decomposes each f32 input into three bf16
+    limbs and takes all 9 cross products — exact f32 products, leaving only
+    f32 accumulation rounding (vs ~2⁻²² product error for the 3-pass
+    HIGH/HIGHEST schemes).  CPU/GPU f32 dots already have exact products.
+    """
+    if jax.default_backend() in ("cpu",):
+        return jax.lax.Precision.HIGHEST
+    try:
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X9
+    except AttributeError:  # older jax
+        return jax.lax.Precision.HIGHEST
+
+
+def blocked_cholesky_dw(
+    K: jnp.ndarray,
+    block_size: int | None = None,
+    rhs: jnp.ndarray | None = None,
+    precision=None,
+):
+    """Maximum-fidelity f32 blocked Cholesky: double-word-carry trailing
+    matrix + exact-product GEMMs.
+
+    Two error sources separate the plain blocked factorization from an f64
+    oracle, and this kills both:
+
+    * **Trailing storage rounding**: each update ``T -= L_k L_kᵀ`` rounds
+      every trailing entry to f32, accumulating over G panels.  Here the
+      trailing matrix is carried as an unevaluated (hi, lo) pair — the
+      subtraction runs through an error-free two_sum, the remainder
+      accumulates in ``lo``, and each panel folds its carry back in before
+      factorizing, so every panel input is a SINGLE rounding from exact.
+      (Measured on CPU at N=8192/b=2048 this term alone is ~1e-8 relative
+      in the log-det — real but not the on-chip floor.)
+    * **GEMM product rounding**: the TPU 3-pass bf16 schemes (HIGH /
+      HIGHEST) carry ~2⁻²² relative error per product, which the round-3
+      on-chip ladder measured as the ~2e-6 log-det floor at N=8192.  The
+      trailing/panel GEMMs here default to ``BF16_BF16_F32_X9`` (all nine
+      bf16-limb cross products = exact f32 products) on TPU.
+
+    Cost: one extra n²/2 buffer, G elementwise two_sum passes (VPU,
+    O(n²)), and 9-pass instead of 3-pass trailing GEMMs (~3× the MXU work
+    of the HIGH accuracy mode).  Enable via
+    ``config.CHOLESKY_PRECISION = "double_word"`` (usually together with
+    ``config.NLML_COMPENSATED = True`` so the quadratic term is refined
+    too).  Reference capability matched: Eigen's f64 LDLT robustness
+    (serializable_ldlt.hpp:19-80) on f64-less hardware.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    from .blocked_cholesky import (
+        DEFAULT_PANEL_SUB,
+        auto_block_size,
+        blocked_tri_inverse,
+    )
+
+    K = jnp.asarray(K)
+    n = K.shape[0]
+    HI = precision if precision is not None else _exact_product_precision()
+    b = block_size if block_size is not None else auto_block_size(n)
+    if n <= b or n % b != 0:
+        L = jnp.linalg.cholesky(K)
+        if rhs is None:
+            return L
+        return L, solve_triangular(L, rhs[:, None], lower=True)[:, 0]
+
+    G = n // b
+    # cols_hi[j] / cols_lo[j] hold only the ACTIVE trailing rows j·b..n of
+    # column panel j, as an unevaluated hi+lo sum
+    cols_hi = [
+        jax.lax.slice(K, (k * b, k * b), (n, (k + 1) * b)) for k in range(G)
+    ]
+    cols_lo = [jnp.zeros_like(c) for c in cols_hi]
+    z = rhs
+    out_cols = []
+    for k in range(G):
+        k0 = k * b
+        # fold the carry: the panel's input is now one rounding from exact
+        ph, _ = two_sum(cols_hi[k], cols_lo[k])  # (n - k0, b)
+        Lkk = jnp.linalg.cholesky(ph[:b])
+        # panel columns via the GEMM-composed inverse so the products run
+        # at the controlled precision (TriangularSolve's internal matmul
+        # precision is backend-defined on TPU)
+        W = blocked_tri_inverse(Lkk, DEFAULT_PANEL_SUB, precision=HI)
+        below = jnp.matmul(ph[b:], W.T, precision=HI)  # (n-k0-b, b)
+        out_cols.append(
+            jnp.concatenate(
+                [jnp.zeros((k0, b), K.dtype), Lkk, below], axis=0
+            )
+        )
+        if z is not None:
+            zk = jnp.matmul(
+                W, jax.lax.slice(z, (k0,), (k0 + b,)), precision=HI
+            )
+            zt = jax.lax.slice(z, (k0 + b,), (n,)) - jnp.matmul(
+                below, zk, precision=HI
+            )
+            z = jnp.concatenate([z[:k0], zk, zt], axis=0)
+        for j in range(k + 1, G):
+            j0 = j * b
+            Lj = below[j0 - k0 - b : j0 - k0]  # (b, b)
+            Lrows = below[j0 - k0 - b :]  # rows j0.. of column k's factor
+            P = jnp.matmul(Lrows, Lj.T, precision=HI)  # (n - j0, b)
+            s, e = two_sum(cols_hi[j], -P)
+            cols_hi[j] = s
+            cols_lo[j] = cols_lo[j] + e
+    L = jnp.tril(jnp.concatenate(out_cols, axis=1))
+    return L if rhs is None else (L, z)
+
+
 LOG_2PI = math.log(2.0 * math.pi)
 
 

@@ -63,6 +63,12 @@ class CholeskyFactor:
             from .. import config
             from .blocked_cholesky import blocked_cholesky_cols
 
+            if config.CHOLESKY_PRECISION == "double_word":
+                # maximum-fidelity mode: double-word-carry trailing matrix
+                # + exact-product (X9) GEMMs (ops/compensated.py)
+                from .compensated import blocked_cholesky_dw
+
+                return blocked_cholesky_dw(K, rhs=rhs)
             if config.CHOLESKY_PRECISION is not None:
                 # accuracy mode: multi-pass on every factorization GEMM
                 return blocked_cholesky_cols(
@@ -141,6 +147,13 @@ class CholeskyFactor:
             from .. import config
             from .blocked_cholesky import blocked_cholesky_cols
 
+            if config.CHOLESKY_PRECISION == "double_word":
+                from .compensated import blocked_cholesky_dw, dw_sum
+
+                L, white = blocked_cholesky_dw(K, rhs=rhs.astype(K.dtype))
+                logs = jnp.log(jnp.diagonal(L))
+                h, l = dw_sum(logs)
+                return 2.0 * (h + l), white
             kw = {}
             if config.CHOLESKY_PRECISION is not None:
                 kw = dict(

@@ -134,6 +134,12 @@ def main():
         ("1pass", None),
         ("cholhigh", "high"),
         ("cholhighest", "highest"),
+        # round-3 follow-up: the CPU control at the same N/b measured the
+        # plain blocked log-det at 1.2e-8 rel — so the on-chip ~2e-6 floor
+        # is NOT trailing storage rounding but the 3-pass bf16 product
+        # error.  "double_word" = dw-carry trailing matrix + exact-product
+        # BF16x9 GEMMs; this row decides whether X9 kills the floor.
+        ("doubleword", "double_word"),
     ):
         parts(tag, precision)
 
