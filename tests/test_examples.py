@@ -51,3 +51,7 @@ def test_inspection_example():
 
 def test_distributed_example():
     run_example("examples.distributed", ["--n", "128"])
+
+
+def test_accuracy_example():
+    run_example("examples.accuracy", ["--n", "400"])
