@@ -100,6 +100,26 @@ def test_sharded_gram_matches_dense(mesh, rng):
     np.testing.assert_allclose(np.asarray(C), C_ref, rtol=1e-12)
 
 
+def test_parallel_gram_bitwise_equals_serial(mesh):
+    """test_callers.cc:225-270 — computing gram blocks in parallel gives
+    EXACTLY (bitwise) the serial answer.  The reference sweeps ThreadPool
+    sizes; here the mesh decomposition plays that role."""
+    rng = np.random.default_rng(22)
+    kernel = SquaredExponential(0.5, 0.1)
+    for _ in range(3):
+        n = int(rng.integers(500, 2000)) // 8 * 8
+        x = jnp.asarray(rng.uniform(-1.0, 1.0, n))
+        K_sharded = np.asarray(sharded_gram(kernel, x, mesh))
+        K_serial = np.asarray(kernel(x))
+        np.testing.assert_array_equal(K_sharded, K_serial)
+        m = int(rng.integers(100, 500))
+        ys = jnp.asarray(rng.uniform(-1.0, 1.0, m))
+        C_sharded = np.asarray(sharded_cross_gram(kernel, x, ys, mesh))
+        np.testing.assert_array_equal(
+            C_sharded, np.asarray(kernel.matrix_or_none(x, ys))
+        )
+
+
 def test_distributed_gp_matches_single_chip(mesh, rng):
     n = 32
     x = np.sort(rng.uniform(0, 10, n))
