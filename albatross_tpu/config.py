@@ -35,6 +35,13 @@ PALLAS_GRAM_AUTO_MIN_D: int = 9
 # CholeskyFactor._factor_core / nlml_terms.
 CHOLESKY_PRECISION: str | None = None
 
+# Limb count for the double_word mode's exact-product GEMMs: "x3"/"x6"/
+# "x9" -> BF16_BF16_F32_X{3,6,9} DotAlgorithmPreset on TPU ("x9" = exact
+# f32 products but the tunneled v5e AOT compiler rejects it; "x6" is the
+# strongest it accepts), anything else -> plain precision=HIGHEST.
+# CPU/GPU ignore this (their f32 products are already exact).
+DW_DOT_ALGORITHM: str = "x6"
+
 # NLML accuracy mode (ops/compensated.py): double-word (two-float)
 # reductions for the log-det and whiten sums plus ONE iterative-refinement
 # step on the quadratic term — attacks the f32 solve/reduction error floor

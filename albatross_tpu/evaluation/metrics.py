@@ -278,10 +278,16 @@ def variogram_score(
 ):
     """VS_p(F, y) = Σ_ij w_ij (|y_i−y_j|^p − E|X_i−X_j|^p)²
     (prediction_metrics.hpp:465-526); p=1 madogram (default), p=2 variogram,
-    both closed-form for Gaussians."""
-    truth_mean = (
-        truth.mean if isinstance(truth, MarginalDistribution) else jnp.asarray(truth)
-    )
+    both closed-form for Gaussians.  Each unordered pair (i, j) with i < j
+    contributes once with weight w_ij, matching the reference's
+    row/tail(rest) loop; a MarginalDistribution truth folds its variance
+    into the prediction covariance (prediction_metrics.hpp:512-521)."""
+    cov = prediction.covariance
+    if isinstance(truth, MarginalDistribution):
+        truth_mean = truth.mean
+        cov = cov + jnp.diag(truth.get_variance())
+    else:
+        truth_mean = jnp.asarray(truth)
     n = int(prediction.mean.shape[0])
     if int(truth_mean.shape[0]) != n:
         raise ValueError(
@@ -293,7 +299,6 @@ def variogram_score(
             "the size of the problem!"
         )
     mu = prediction.mean
-    cov = prediction.covariance
     d_mu = mu[:, None] - mu[None, :]
     d_var = (
         jnp.diagonal(cov)[:, None] + jnp.diagonal(cov)[None, :] - 2.0 * cov
@@ -307,7 +312,7 @@ def variogram_score(
         raise ValueError("variogram_score supports p in {1, 2}")
     d_truth = jnp.abs(truth_mean[:, None] - truth_mean[None, :]) ** p
     w = jnp.ones_like(expected) if weights is None else jnp.asarray(weights)
-    return jnp.sum(w * (d_truth - expected) ** 2)
+    return jnp.sum(jnp.triu(w * (d_truth - expected) ** 2, k=1))
 
 
 def _principal_sqrt(A):

@@ -28,6 +28,7 @@ Numerical contract of the primitives (valid when no overflow occurs):
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -171,24 +172,41 @@ def refined_quadratic(
 def _exact_product_precision():
     """Strongest dot fidelity the backend offers.
 
-    On TPU, ``BF16_BF16_F32_X9`` decomposes each f32 input into three bf16
-    limbs and takes all 9 cross products — exact f32 products, leaving only
-    f32 accumulation rounding (vs ~2⁻²² product error for the 3-pass
-    HIGH/HIGHEST schemes).  CPU/GPU f32 dots already have exact products.
+    On TPU, the ``BF16_BF16_F32_X6``/``X9`` presets decompose each f32
+    input into bf16 limbs and take 6/9 cross products — near-exact/exact
+    f32 products, leaving mostly f32 accumulation rounding (vs ~2⁻²²
+    product error for the 3-pass HIGH/HIGHEST schemes).  Which presets a
+    given libtpu accepts varies (the tunneled v5e AOT compiler rejects
+    X9), so the limb count is a config knob; CPU/GPU f32 dots already have
+    exact products and always use plain HIGHEST.
     """
-    if jax.default_backend() in ("cpu",):
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        return jax.lax.Precision.HIGHEST
+    from .. import config
+
+    name = {
+        "x3": "BF16_BF16_F32_X3",
+        "x6": "BF16_BF16_F32_X6",
+        "x9": "BF16_BF16_F32_X9",
+    }.get(getattr(config, "DW_DOT_ALGORITHM", "x6"))
+    if name is None:
         return jax.lax.Precision.HIGHEST
     try:
-        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X9
+        return getattr(jax.lax.DotAlgorithmPreset, name)
     except AttributeError:  # older jax
         return jax.lax.Precision.HIGHEST
 
 
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "precision", "assemble")
+)
 def blocked_cholesky_dw(
     K: jnp.ndarray,
     block_size: int | None = None,
     rhs: jnp.ndarray | None = None,
     precision=None,
+    assemble: bool = True,
 ):
     """Maximum-fidelity f32 blocked Cholesky: double-word-carry trailing
     matrix + exact-product GEMMs.
@@ -227,14 +245,33 @@ def blocked_cholesky_dw(
     )
 
     K = jnp.asarray(K)
-    n = K.shape[0]
+    n_orig = K.shape[0]
+    n = n_orig
     HI = precision if precision is not None else _exact_product_precision()
     b = block_size if block_size is not None else auto_block_size(n)
-    if n <= b or n % b != 0:
+    if assemble is False and rhs is None:
+        raise ValueError("assemble=False requires rhs (the NLML fused path)")
+    if n <= b:
         L = jnp.linalg.cholesky(K)
-        if rhs is None:
-            return L
-        return L, solve_triangular(L, rhs[:, None], lower=True)[:, 0]
+        z0 = (
+            None
+            if rhs is None
+            else solve_triangular(L, rhs[:, None], lower=True)[:, 0]
+        )
+        if not assemble:
+            return jnp.diagonal(L), z0
+        return L if rhs is None else (L, z0)
+    if n % b != 0:
+        # pad-and-mask so the dw fast path is TOTAL for every N: extend to
+        # the next panel boundary with an identity block (chol of
+        # blkdiag(K, I) is blkdiag(L, I) exactly), factor, slice back
+        m = -(-n // b) * b
+        pad = m - n
+        K = jnp.pad(K, ((0, pad), (0, pad)))
+        K = K.at[jnp.arange(n, m), jnp.arange(n, m)].set(1.0)
+        if rhs is not None:
+            rhs = jnp.pad(rhs, (0, pad))
+        n = m
 
     G = n // b
     # cols_hi[j] / cols_lo[j] hold only the ACTIVE trailing rows j·b..n of
@@ -245,6 +282,7 @@ def blocked_cholesky_dw(
     cols_lo = [jnp.zeros_like(c) for c in cols_hi]
     z = rhs
     out_cols = []
+    diag_parts = []
     for k in range(G):
         k0 = k * b
         # fold the carry: the panel's input is now one rounding from exact
@@ -255,11 +293,14 @@ def blocked_cholesky_dw(
         # precision is backend-defined on TPU)
         W = blocked_tri_inverse(Lkk, DEFAULT_PANEL_SUB, precision=HI)
         below = jnp.matmul(ph[b:], W.T, precision=HI)  # (n-k0-b, b)
-        out_cols.append(
-            jnp.concatenate(
-                [jnp.zeros((k0, b), K.dtype), Lkk, below], axis=0
+        if assemble:
+            out_cols.append(
+                jnp.concatenate(
+                    [jnp.zeros((k0, b), K.dtype), Lkk, below], axis=0
+                )
             )
-        )
+        else:
+            diag_parts.append(jnp.diagonal(Lkk))
         if z is not None:
             zk = jnp.matmul(
                 W, jax.lax.slice(z, (k0,), (k0 + b,)), precision=HI
@@ -276,8 +317,15 @@ def blocked_cholesky_dw(
             s, e = two_sum(cols_hi[j], -P)
             cols_hi[j] = s
             cols_lo[j] = cols_lo[j] + e
-    L = jnp.tril(jnp.concatenate(out_cols, axis=1))
-    return L if rhs is None else (L, z)
+    if not assemble:
+        # the NLML consumes only diag(L) + the whitened vector — skip the
+        # O(N²) column assembly entirely (mirrors blocked_cholesky_cols)
+        return (
+            jnp.concatenate(diag_parts)[:n_orig],
+            None if z is None else z[:n_orig],
+        )
+    L = jnp.tril(jnp.concatenate(out_cols, axis=1))[:n_orig, :n_orig]
+    return L if rhs is None else (L, z[:n_orig])
 
 
 LOG_2PI = math.log(2.0 * math.pi)

@@ -150,9 +150,10 @@ class CholeskyFactor:
             if config.CHOLESKY_PRECISION == "double_word":
                 from .compensated import blocked_cholesky_dw, dw_sum
 
-                L, white = blocked_cholesky_dw(K, rhs=rhs.astype(K.dtype))
-                logs = jnp.log(jnp.diagonal(L))
-                h, l = dw_sum(logs)
+                diag, white = blocked_cholesky_dw(
+                    K, rhs=rhs.astype(K.dtype), assemble=False
+                )
+                h, l = dw_sum(jnp.log(diag))
                 return 2.0 * (h + l), white
             kw = {}
             if config.CHOLESKY_PRECISION is not None:

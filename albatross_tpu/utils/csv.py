@@ -105,6 +105,11 @@ def write_to_csv(
         )
         return
     if isinstance(dataset, (list, tuple)):
+        if predictions is not None and len(predictions) != len(dataset):
+            raise ValueError(
+                f"got {len(dataset)} datasets but {len(predictions)} "
+                "prediction sets"
+            )
         preds = (
             predictions
             if predictions is not None

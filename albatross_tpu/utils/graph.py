@@ -33,11 +33,7 @@ class Graph(Generic[V]):
         self.edges.append(Edge(a, b, cost))
 
     def vertices(self) -> Set[V]:
-        out: Set[V] = set()
-        for e in self.edges:
-            out.add(e.a)
-            out.add(e.b)
-        return out
+        return compute_vertices(self.edges)
 
     def adjacency(self) -> Dict[V, List[Edge]]:
         adj: Dict[V, List[Edge]] = {}

@@ -420,6 +420,71 @@ def test_variogram_score_with_weights():
         assert vs_zero == 0.0
 
 
+@pytest.mark.parametrize("p", [1.0, 2.0], ids=["madogram", "variogram"])
+def test_variogram_score_matches_reference_loop(p):
+    """Direct transcription of the reference's row/tail(rest) summation
+    (prediction_metrics.hpp:482-509): each unordered pair counted ONCE
+    with weight w_ij (i < j) — catches constant-factor and weight-side
+    bugs the invariance tests are blind to."""
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        n = int(rng.integers(3, 12))
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        cov = (q * rng.gamma(2.0, 2.0, n)[None, :]) @ q.T
+        mu = rng.standard_normal(n)
+        y = rng.standard_normal(n)
+        w = rng.random((n, n))
+
+        expected = 0.0
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                m = mu[j] - mu[i]
+                s = math.sqrt(max(cov[i, i] + cov[j, j] - 2 * cov[i, j], 0.0))
+                if p == 2.0:
+                    e = m * m + s * s
+                elif s > 0:
+                    z = abs(m) / max(1e-16, s)
+                    e = s * math.sqrt(2 / math.pi) * math.exp(
+                        -0.5 * z * z
+                    ) + abs(m) * math.erf(z / math.sqrt(2))
+                else:
+                    e = abs(m)
+                d = abs(y[i] - y[j]) ** p
+                expected += w[i, j] * (d - e) ** 2
+
+        ours = float(
+            variogram_score(
+                JointDistribution(jnp.asarray(mu), jnp.asarray(cov)),
+                jnp.asarray(y),
+                weights=jnp.asarray(w),
+                p=p,
+            )
+        )
+        assert ours == pytest.approx(expected, rel=1e-9)
+
+
+def test_variogram_score_folds_truth_variance():
+    """prediction_metrics.hpp:512-521 — a MarginalDistribution truth adds
+    its variance to the prediction covariance before scoring."""
+    rng = np.random.default_rng(7)
+    dist = _random_joint(rng, 6)
+    y = rng.standard_normal(6)
+    var = np.full(6, 0.5)
+    from albatross_tpu import MarginalDistribution
+
+    v_marg = float(
+        variogram_score(dist, MarginalDistribution.create(jnp.asarray(y), jnp.asarray(var)))
+    )
+    inflated = JointDistribution(
+        dist.mean, dist.covariance + jnp.diag(jnp.asarray(var))
+    )
+    v_inflated = float(variogram_score(inflated, jnp.asarray(y)))
+    assert v_marg == pytest.approx(v_inflated, rel=1e-12)
+    assert v_marg != pytest.approx(
+        float(variogram_score(dist, jnp.asarray(y))), rel=1e-6
+    )
+
+
 def test_energy_score_raises_on_indefinite_covariance():
     """test_stats_scores.cc:741-750 — draw_mvn dies on non-PD covariance;
     semidefinite (singular) covariances like GP posterior joints sample
