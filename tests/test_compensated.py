@@ -261,3 +261,29 @@ def test_cholesky_precision_double_word_wiring(rng):
         np.asarray(w_dw), np.asarray(w_plain), rtol=2e-3, atol=2e-3
     )
     assert chol.L.shape == (4096, 4096)
+
+
+def test_double_word_mode_is_differentiable(rng):
+    """The dw factorization must stay autodiff-compatible so the accuracy
+    mode is usable inside the tuning loop."""
+    from albatross_tpu import config
+    import albatross_tpu as ab
+
+    x = np.sort(rng.uniform(0.0, 100.0, 2304))
+    y = np.sin(0.3 * x)
+    data = ab.RegressionDataset.create(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+    )
+    model = ab.gp_from_covariance(
+        ab.SquaredExponential(5.0, 1.0)
+        + ab.measurement_only(ab.IndependentNoise(0.1, assume_unique=True))
+    )
+    try:
+        config.CHOLESKY_PRECISION = "double_word"
+        config.NLML_COMPENSATED = True
+        grads = jax.grad(lambda m: -m.log_likelihood(data))(model)
+    finally:
+        config.CHOLESKY_PRECISION = None
+        config.NLML_COMPENSATED = False
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
