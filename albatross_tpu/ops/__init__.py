@@ -11,6 +11,14 @@ from .block import (
     block_sum,
     build_block_symmetric,
 )
+from .compensated import (
+    blocked_cholesky_dw,
+    compensated_nll,
+    dot2,
+    dw_sum,
+    two_prod,
+    two_sum,
+)
 from .linalg import (
     CholeskyFactor,
     DirectInverse,
