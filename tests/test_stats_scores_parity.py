@@ -640,6 +640,30 @@ def test_princeton_tiny():
     assert sum(e.cost for e in forest.edges) == pytest.approx(1.81)
 
 
+def test_maximum_spanning_variants_negate_minimum():
+    """minimum_spanning_tree.hpp:242-275 — max variants are the min
+    variants on negated costs."""
+    from albatross_tpu.utils import (
+        maximum_spanning_forest,
+        maximum_spanning_tree,
+    )
+
+    graph = create_graph([Edge(a, b, c) for a, b, c in PRINCETON_TINY])
+    max_tree = maximum_spanning_tree(graph)
+    neg = create_graph([Edge(a, b, -c) for a, b, c in PRINCETON_TINY])
+    min_of_neg = minimum_spanning_tree(neg)
+    assert {frozenset((e.a, e.b)) for e in max_tree.edges} == {
+        frozenset((e.a, e.b)) for e in min_of_neg.edges
+    }
+    assert sum(e.cost for e in max_tree.edges) == pytest.approx(
+        -sum(e.cost for e in min_of_neg.edges)
+    )
+    forest = maximum_spanning_forest(graph)
+    assert sum(e.cost for e in forest.edges) == pytest.approx(
+        sum(e.cost for e in max_tree.edges)
+    )  # connected graph: forest == tree cost
+
+
 def test_prim_tree_matches_kruskal_forest_on_random_connected_graphs():
     """Stands in for test_minimum_spanning_tree.cc:130-1424
     (mediumEWG, expected cost 10.46351): two independent algorithms must
