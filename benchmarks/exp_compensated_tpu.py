@@ -90,7 +90,9 @@ def main():
         refined_quadratic,
     )
 
-    def parts(tag, precision):
+    import contextlib
+
+    def parts(tag, precision, global_precision=None):
         def f(K, y):
             chol, white = CholeskyFactor.factorize_whiten(
                 K, y, assume_symmetric=True
@@ -104,10 +106,16 @@ def main():
                 qh + ql,
             )
 
+        ctx = (
+            jax.default_matmul_precision(global_precision)
+            if global_precision
+            else contextlib.nullcontext()
+        )
         try:
             config.CHOLESKY_PRECISION = precision
-            jf = jax.jit(f)
-            out = jf(K32, y32)
+            with ctx:
+                jf = jax.jit(f)
+                out = jf(K32, y32)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             out = jf(K32, y32)
@@ -130,18 +138,24 @@ def main():
             ),
         }), flush=True)
 
-    for tag, precision in (
-        ("1pass", None),
-        ("cholhigh", "high"),
-        ("cholhighest", "highest"),
-        # round-3 follow-up: the CPU control at the same N/b measured the
-        # plain blocked log-det at 1.2e-8 rel — so the on-chip ~2e-6 floor
-        # is NOT trailing storage rounding but the 3-pass bf16 product
-        # error.  "double_word" = dw-carry trailing matrix + exact-product
-        # BF16x9 GEMMs; this row decides whether X9 kills the floor.
-        ("doubleword", "double_word"),
+    for tag, precision, global_precision in (
+        ("1pass", None, None),
+        ("cholhigh", "high", None),
+        ("cholhighest", "highest", None),
+        # dw carry + X6 GEMMs (X9 rejected by the v5e AOT compiler).
+        # Measured 2026-08-20: logdet stays at 2.33e-6 — same floor as
+        # cholhighest — so neither storage rounding nor (3-pass) product
+        # rounding is the culprit.  Remaining suspect: the builtin b×b
+        # panel cholesky / triangular-solve INTERNAL matmuls, which run at
+        # DEFAULT (single-bf16-pass) precision regardless of our explicit
+        # per-GEMM settings.
+        ("doubleword", "double_word", None),
+        # the discriminating row: force EVERY matmul (incl. decomposition
+        # internals) to HIGHEST via the global default
+        ("doubleword_allhi", "double_word", "highest"),
+        ("cholhighest_allhi", "highest", "highest"),
     ):
-        parts(tag, precision)
+        parts(tag, precision, global_precision)
 
 
 if __name__ == "__main__":
