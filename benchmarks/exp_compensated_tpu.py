@@ -138,6 +138,36 @@ def main():
             ),
         }), flush=True)
 
+    # ---- dw panel-size sweep ----------------------------------------------
+    # Measured 2026-08-20: dw carry + X6 products + GLOBAL matmul=HIGHEST
+    # all leave the logdet error bit-identical at 2.33e-6 — so the floor
+    # must live inside the builtin b×b cholesky custom-call (whose internal
+    # precision ignores every knob).  Shrinking block_size moves work out
+    # of the builtin into our controlled-precision GEMMs; if the error
+    # falls with b, the builtin is confirmed as the source.
+    if os.environ.get("ALBATROSS_EXP_DW_SWEEP", "1") != "0":
+        from albatross_tpu.ops.compensated import blocked_cholesky_dw, dw_sum
+
+        for bs in (2048, 512, 256):
+            diag, _ = blocked_cholesky_dw(
+                K32, block_size=bs, rhs=y32, assemble=False
+            )
+            h, l = dw_sum(jnp.log(diag))
+            ld = 2.0 * (float(h) + float(l))
+            print(json.dumps({
+                "metric": f"dw_logdet_rel_b{bs}_n{N}",
+                "value": abs(ld - ld64) / abs(ld64),
+                "unit": "rel vs f64 oracle",
+            }), flush=True)
+        # the builtin on the whole matrix, for reference
+        diag_b = jnp.diagonal(jnp.linalg.cholesky(K32))
+        ld_b = 2.0 * float(jnp.sum(jnp.log(diag_b)))
+        print(json.dumps({
+            "metric": f"builtin_chol_logdet_rel_n{N}",
+            "value": abs(ld_b - ld64) / abs(ld64),
+            "unit": "rel vs f64 oracle",
+        }), flush=True)
+
     for tag, precision, global_precision in (
         ("1pass", None, None),
         ("cholhigh", "high", None),
