@@ -72,16 +72,29 @@ def main() -> int:
     print(f"f64 oracle log-likelihood: {ll64:.6f}")
 
     modes = [
-        ("plain f32", None, False),
-        ("compensated", None, True),
-        ("compensated + chol=highest", "highest", True),
-        ("compensated + chol=double_word", "double_word", True),
+        ("plain f32", None, False, False),
+        ("compensated", None, True, False),
+        ("compensated + chol=highest", "highest", True, False),
+        # XLA:CPU's fusion codegen breaks error-free transformations under
+        # jit (TPU preserves them — see tests/test_compensated.py's
+        # canary), so the double-word row runs eagerly on CPU to show the
+        # mode's true accuracy
+        ("compensated + chol=double_word", "double_word", True, True),
     ]
-    for name, chol_mode, compensated in modes:
+    import contextlib
+
+    on_cpu = jax.default_backend() == "cpu"
+    for name, chol_mode, compensated, eager_on_cpu in modes:
+        ctx = (
+            jax.disable_jit()
+            if (eager_on_cpu and on_cpu)
+            else contextlib.nullcontext()
+        )
         try:
             config.CHOLESKY_PRECISION = chol_mode
             config.NLML_COMPENSATED = compensated
-            ll = float(model.log_likelihood(data))
+            with ctx:
+                ll = float(model.log_likelihood(data))
         finally:
             config.CHOLESKY_PRECISION = None
             config.NLML_COMPENSATED = False
