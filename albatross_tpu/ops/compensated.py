@@ -109,14 +109,71 @@ def dot2(x, y):
     return dw_sum(p, e)
 
 
-def dw_log_determinant(L) -> tuple[jax.Array, jax.Array]:
-    """2 Σ log diag(L) with the reduction in double-word.
+LN2_HI = 0.6931471824645996  # float32(ln 2)
+LN2_LO = float(math.log(2.0) - LN2_HI)  # remainder, |.| < 2^-25
 
-    Each log carries its own ~1-ulp error (irreducible without a
-    double-word log); the compensation removes the O(√N·eps) summation
-    error on top."""
-    logs = jnp.log(jnp.diagonal(L))
-    h, l = dw_sum(logs)
+
+@jax.custom_jvp
+def accurate_log(x):
+    """Correctly-rounded-class f32 natural log as a double word (hi, lo).
+
+    WHY: the on-chip ladder (2026-08-20, N=8192) pinned the entire
+    ~2.3e-6 "log-det floor" on TPU's approximate f32 ``log`` — the
+    device's Cholesky diagonal was accurate to 2.5e-8 all along, and the
+    builtin log's per-element error is ~100× a correctly-rounded log AND
+    biased, so it cannot cancel over N elements.  No precision knob
+    touches transcendental accuracy, so we compute the log ourselves:
+
+      x = 2^e · m  (exact bitwise reduction, m scaled into [√½, √2)),
+      ln m = 2·atanh(s),  s = (m−1)/(m+1)  (|s| ≤ 0.1716),
+
+    with the atanh series in f32 (truncation < 1e-9) and the e·ln2 term
+    carried in double-word.  Elementwise VPU work — negligible for the
+    (n,) diagonals it serves.  Positive finite inputs only.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    m = jax.lax.bitcast_convert_type(
+        (bits & 0x007FFFFF) | (127 << 23), jnp.float32
+    )  # [1, 2), exact
+    big = m > 1.4142135
+    m = jnp.where(big, 0.5 * m, m)  # exact (power-of-two scale)
+    e = (e + big.astype(e.dtype)).astype(jnp.float32)
+    s = (m - 1.0) / (m + 1.0)  # m-1 exact in this range; one rounding
+    s2 = s * s
+    # ln m = 2s·(1 + s²/3 + s⁴/5 + s⁶/7 + s⁸/9 + s¹⁰/11)
+    poly = 1.0 + s2 * (
+        1.0 / 3.0
+        + s2 * (0.2 + s2 * (1.0 / 7.0 + s2 * (1.0 / 9.0 + s2 / 11.0)))
+    )
+    ln_m = (2.0 * s) * poly
+    # e·ln2 in double-word (two_prod: exact even when e·LN2_HI needs >24 bits)
+    ph, pe = two_prod(e, jnp.float32(LN2_HI))
+    h, t = two_sum(ph, ln_m)
+    return h, t + pe + e * LN2_LO
+
+
+@accurate_log.defjvp
+def _accurate_log_jvp(primals, tangents):
+    # the bitwise reduction has no autodiff rule; d log(x) = dx / x
+    (x,), (dx,) = primals, tangents
+    h, l = accurate_log(x)
+    return (h, l), (dx / jnp.asarray(x, jnp.float32), jnp.zeros_like(h))
+
+
+def dw_log_determinant(L) -> tuple[jax.Array, jax.Array]:
+    """2 Σ log diag(L): accurate per-element logs + double-word reduction.
+
+    The builtin f32 log is the dominant on-chip NLML error (see
+    ``accurate_log``); f64-capable backends keep the builtin (already
+    correctly rounded there)."""
+    diag = jnp.diagonal(L)
+    if diag.dtype == jnp.float32:
+        lh, ll = accurate_log(diag)
+        h, l = dw_sum(lh, ll)
+    else:
+        h, l = dw_sum(jnp.log(diag))
     return 2.0 * h, 2.0 * l
 
 

@@ -22,6 +22,24 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 
+def _sum_of_logs(diag: jnp.ndarray) -> jnp.ndarray:
+    """2 Σ log dᵢ for a Cholesky diagonal.
+
+    In f32 this routes through ops.compensated.accurate_log: TPU's builtin
+    f32 log is a *biased* ~100×-ulp approximation, and the bias was
+    measured as the dominant on-chip NLML error (2.3e-6 rel at N=8192 —
+    larger than the whole factorization's 2.5e-8).  The replacement is a
+    handful of elementwise VPU ops on an (n,) vector — free next to the
+    O(n³) factorization — so the fast path gets it too, not just the
+    compensated mode."""
+    if diag.dtype == jnp.float32:
+        from .compensated import accurate_log
+
+        h, l = accurate_log(diag)
+        return 2.0 * (jnp.sum(h) + jnp.sum(l))
+    return 2.0 * jnp.sum(jnp.log(diag))
+
+
 def _sym(K: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (K + K.T)
 
@@ -164,10 +182,10 @@ class CholeskyFactor:
             diag, white = blocked_cholesky_cols(
                 K, rhs=rhs.astype(K.dtype), assemble=False, **kw
             )
-            return 2.0 * jnp.sum(jnp.log(diag)), white
+            return _sum_of_logs(diag), white
         L = jnp.linalg.cholesky(K)
         white = solve_triangular(L, rhs[:, None], lower=True)[:, 0]
-        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L))), white
+        return _sum_of_logs(jnp.diagonal(L)), white
 
     @classmethod
     def factorize_safe(
@@ -265,7 +283,7 @@ class CholeskyFactor:
 
     # -- scalars ------------------------------------------------------------
     def log_determinant(self) -> jnp.ndarray:
-        return 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.L)))
+        return _sum_of_logs(jnp.diagonal(self.L))
 
     def is_positive_definite(self) -> jnp.ndarray:
         return jnp.all(jnp.isfinite(jnp.diagonal(self.L))) & jnp.all(

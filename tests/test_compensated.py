@@ -287,3 +287,31 @@ def test_double_word_mode_is_differentiable(rng):
         config.NLML_COMPENSATED = False
     leaves = jax.tree_util.tree_leaves(grads)
     assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
+
+
+def test_accurate_log_sub_ulp_and_unbiased(rng):
+    """accurate_log: the on-chip ladder pinned the NLML 'logdet floor' on
+    TPU's biased f32 log approximation (2.3e-6 rel at N=8192 while the
+    factorization itself was at 2.5e-8).  The replacement must be
+    sub-ulp per element and bias-free in the aggregate."""
+    from albatross_tpu.ops.compensated import accurate_log
+
+    vals = rng.uniform(0.05, 2.0, 50000).astype(np.float32)
+    h, l = accurate_log(jnp.asarray(vals))
+    got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    exact = np.log(vals.astype(np.float64))
+    ulp = np.finfo(np.float32).eps * np.maximum(np.abs(exact), 1.0)
+    assert np.max(np.abs(got - exact) / ulp) < 1.0
+    assert abs(got.sum() - exact.sum()) / abs(exact.sum()) < 1e-9
+    # wide range incl. large exponents (two_prod e*ln2 exactness)
+    wide = np.exp(rng.uniform(-30, 30, 20000)).astype(np.float32)
+    h, l = accurate_log(jnp.asarray(wide))
+    got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    exact = np.log(wide.astype(np.float64))
+    ulp_w = np.finfo(np.float32).eps * np.maximum(np.abs(exact), 1.0)
+    assert np.max(np.abs(got - exact) / ulp_w) < 1.0
+    # custom_jvp: d log x = 1/x
+    g = jax.grad(
+        lambda v: jnp.sum(accurate_log(v)[0] + accurate_log(v)[1])
+    )(jnp.asarray([0.5, 2.0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(g), [2.0, 0.5], rtol=1e-6)
