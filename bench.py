@@ -140,7 +140,10 @@ def _extra_benchmarks():
     out = []
 
     def emit(metric, value, unit):
-        rec = {"metric": metric, "value": round(value, 4), "unit": unit}
+        # round to 4 decimals for human-scale values but keep significant
+        # digits for tiny ones (the accuracy rows are ~1e-7)
+        v = round(value, 4) if abs(value) >= 1e-3 else float(f"{value:.3e}")
+        rec = {"metric": metric, "value": v, "unit": unit}
         print(json.dumps(rec), file=sys.stderr, flush=True)
         out.append(rec)
 
@@ -292,6 +295,71 @@ def _extra_benchmarks():
             f"gram_highd_ms_n{ng}_d{d}_pallas",
             t_pallas * 1e3,
             f"ms (XLA matmul-trick: {t_xla * 1e3:.1f} ms; pallas exact-f32)",
+        )
+
+    # -- accuracy row: compensated NLML vs an f64 host oracle ----------------
+    # BASELINE.md's 1e-6 relative-NLML target, driver-captured: build K on
+    # device through the library gram path, download it ONCE, compute the
+    # f64 oracle on host numpy, and compare the on-device compensated NLML
+    # (accurate_log + dw reductions + refined quadratic; ops/compensated.py)
+    # against it.  N=4096 keeps the host oracle and the download cheap; the
+    # full ladder at N=8192 lives in benchmarks/exp_compensated_tpu.py.
+    try:
+        from albatross_tpu import config
+        from albatross_tpu.kernels import as_measurement
+        from albatross_tpu.ops.compensated import compensated_nll
+        from albatross_tpu.ops.linalg import CholeskyFactor
+
+        na = 4096
+        xa = jnp.asarray(
+            np.sort(rng.uniform(0.0, 100.0, na)), dtype=jnp.float32
+        )
+        ya = jnp.sin(0.3 * xa) + 0.1 * jnp.asarray(
+            rng.standard_normal(na), dtype=jnp.float32
+        )
+        akern = ab.SquaredExponential(5.0, 1.0) + ab.measurement_only(
+            ab.IndependentNoise(0.1, assume_unique=True)
+        )
+        Ka = jax.jit(lambda x: akern(as_measurement(x)))(xa)
+
+        @jax.jit
+        def comp_and_plain(K, y):
+            chol, white = CholeskyFactor.factorize_whiten(
+                K, y, assume_symmetric=True
+            )
+            plain = 0.5 * (
+                chol.log_determinant()
+                + jnp.sum(white * white)
+                + na * float(np.log(2.0 * np.pi))
+            )
+            return compensated_nll(chol, K, y), plain
+
+        try:
+            config.CHOLESKY_PRECISION = "highest"
+            nll_c, nll_p = comp_and_plain(Ka, ya)
+            nll_c, nll_p = float(nll_c), float(nll_p)
+        finally:
+            config.CHOLESKY_PRECISION = None
+        K64 = np.asarray(Ka, np.float64)
+        L64 = np.linalg.cholesky(K64)
+        w64 = np.linalg.solve(L64, np.asarray(ya, np.float64))
+        nll64 = 0.5 * (
+            2.0 * np.sum(np.log(np.diag(L64)))
+            + w64 @ w64
+            + na * np.log(2.0 * np.pi)
+        )
+        emit(
+            f"nlml_rel_err_compensated_n{na}",
+            abs(nll_c - nll64) / abs(nll64),
+            f"rel vs f64 oracle (plain f32: {abs(nll_p - nll64) / abs(nll64):.2e};"
+            " target 1e-6)",
+        )
+    except Exception as exc:  # accuracy row must never break the bench
+        print(
+            json.dumps(
+                {"metric": "nlml_rel_err_error", "unit": str(exc)[:200]}
+            ),
+            file=sys.stderr,
         )
 
     # -- scale row: N=32768 NLML (auto precision=HIGH panel GEMMs) -----------
