@@ -16,8 +16,10 @@ LOG_2PIE = math.log(2.0 * math.pi * math.e)
 def differential_entropy(covariance) -> jnp.ndarray:
     covariance = jnp.asarray(covariance)
     if covariance.ndim == 1:
+        from ..ops.compensated import accurate_sum_of_logs
+
         n = covariance.shape[0]
-        return 0.5 * (n * LOG_2PIE + jnp.sum(jnp.log(covariance)))
+        return 0.5 * (n * LOG_2PIE + accurate_sum_of_logs(covariance))
     chol = CholeskyFactor.factorize(covariance)
     n = covariance.shape[0]
     return 0.5 * (n * LOG_2PIE + chol.log_determinant())

@@ -250,11 +250,21 @@ class SparseGaussianProcessRegression(ModelBase):
             k_diag = self.covariance_function.diag(measurements)
             if target_var is not None:
                 k_diag = k_diag + target_var
-            a_diag = (
-                k_diag
-                - jnp.sum(P * P, axis=0)
-                + self.measurement_nugget.value
-            )
+            q_diag = jnp.sum(P * P, axis=0)
+            raw = k_diag - q_diag
+            # The FITC residual k − q is ~0 wherever the inducing set
+            # covers a training point (exactly 0 when they coincide), and
+            # in f32 the cancellation can round a few ulps negative
+            # (measured −3.5e-7 with an endpoint inducing point on a unit
+            # kernel), NaN-ing the sqrt.  Clamp ONLY rounding-scale
+            # negatives — the same policy as gp_marginal_prediction
+            # (models/gp.py) — so a genuinely indefinite residual (bad
+            # kernel, broken factorization) still surfaces as NaN instead
+            # of being silently floored.  The reference runs f64 LDLT
+            # where the benign case stays positive (sparse_gp.hpp nugget).
+            scale = k_diag + q_diag
+            raw = jnp.where((raw < 0) & (raw >= -1e-3 * scale), 0.0, raw)
+            a_diag = raw + self.measurement_nugget.value
             A_chol = DiagonalCholesky(jnp.sqrt(a_diag))
         else:
             # PITC: per-group residual blocks A_g = K_g − Q_g (+ nuggets),
@@ -356,7 +366,9 @@ class SparseGaussianProcessRegression(ModelBase):
         Q, R = jnp.linalg.qr(B, mode="reduced")
 
         log_det_a = A_chol.log_determinant()
-        log_det_r = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(R))))
+        from ..ops.compensated import accurate_sum_of_logs
+
+        log_det_r = accurate_sum_of_logs(jnp.abs(jnp.diagonal(R)))
         log_det_K_uu = K_uu_chol.log_determinant()
         log_det = log_det_a + 2.0 * log_det_r - log_det_K_uu
 

@@ -182,8 +182,10 @@ class BlockDiagonalCholesky:
             jnp.arange(self.L.shape[1])[None, :]
             < self.sizes[:, None]
         )
+        from .compensated import accurate_sum_of_logs
+
         diags = jnp.diagonal(self.L, axis1=1, axis2=2)
-        return 2.0 * jnp.sum(jnp.where(mask, jnp.log(diags), 0.0))
+        return 2.0 * accurate_sum_of_logs(diags, where=mask)
 
     def l1_norm(self) -> float:
         """||A||₁ of the factorized matrix: max abs column sum, which for a
@@ -267,7 +269,9 @@ class DiagonalCholesky:
         return self._div(self._div(rhs))
 
     def log_determinant(self):
-        return 2.0 * jnp.sum(jnp.log(self.sqrt_diag))
+        from .compensated import accurate_sum_of_logs
+
+        return 2.0 * accurate_sum_of_logs(self.sqrt_diag)
 
 
 @jax.tree_util.register_pytree_node_class

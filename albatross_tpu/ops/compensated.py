@@ -197,6 +197,30 @@ def dw_matvec(K, v, chunk: int = 1024) -> tuple[jax.Array, jax.Array]:
     return hh.reshape(n), hl.reshape(n)
 
 
+def accurate_sum_of_logs(x, where=None):
+    """Σ log xᵢ over ALL elements of ``x``: sub-ulp per-element logs in
+    f32 (``accurate_log`` — the builtin TPU f32 log is ~100×-ulp biased)
+    plus a double-word reduction.  Entries where ``where`` is False
+    contribute exactly 0 (replaced by 1 before the log, which
+    ``accurate_log`` maps to an exact (0, 0)).  Differentiable: the
+    custom JVP routes d log x = dx/x, and masked entries get zero
+    cotangent through the ``where``.  Serves every log-det site —
+    single-chip, blocked, batched-block-diagonal and shard_map-local
+    (pure elementwise + log-depth reduction, collective-free)."""
+    x = jnp.asarray(x)
+    flat = x.reshape(-1)
+    if where is not None:
+        flat = jnp.where(
+            jnp.asarray(where).reshape(-1), flat, jnp.ones((), flat.dtype)
+        )
+    if flat.dtype == jnp.float32:
+        h, l = accurate_log(flat)
+    else:
+        h, l = jnp.log(flat), None
+    sh, sl = dw_sum(h, l)
+    return sh + sl
+
+
 def refined_quadratic(
     chol, K, y, refine_steps: int = 2
 ) -> tuple[jax.Array, jax.Array]:

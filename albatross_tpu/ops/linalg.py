@@ -32,12 +32,9 @@ def _sum_of_logs(diag: jnp.ndarray) -> jnp.ndarray:
     handful of elementwise VPU ops on an (n,) vector — free next to the
     O(n³) factorization — so the fast path gets it too, not just the
     compensated mode."""
-    if diag.dtype == jnp.float32:
-        from .compensated import accurate_log
+    from .compensated import accurate_sum_of_logs
 
-        h, l = accurate_log(diag)
-        return 2.0 * (jnp.sum(h) + jnp.sum(l))
-    return 2.0 * jnp.sum(jnp.log(diag))
+    return 2.0 * accurate_sum_of_logs(diag)
 
 
 def _sym(K: jnp.ndarray) -> jnp.ndarray:
@@ -166,13 +163,15 @@ class CholeskyFactor:
             from .blocked_cholesky import blocked_cholesky_cols
 
             if config.CHOLESKY_PRECISION == "double_word":
-                from .compensated import blocked_cholesky_dw, dw_sum
+                from .compensated import (
+                    accurate_sum_of_logs,
+                    blocked_cholesky_dw,
+                )
 
                 diag, white = blocked_cholesky_dw(
                     K, rhs=rhs.astype(K.dtype), assemble=False
                 )
-                h, l = dw_sum(jnp.log(diag))
-                return 2.0 * (h + l), white
+                return 2.0 * accurate_sum_of_logs(diag), white
             kw = {}
             if config.CHOLESKY_PRECISION is not None:
                 kw = dict(

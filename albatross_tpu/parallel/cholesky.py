@@ -245,10 +245,12 @@ def distributed_log_determinant(L, mesh: Mesh, axis: str = "data"):
     b = n // G
 
     def local(L_local):
+        from ..ops.compensated import accurate_sum_of_logs
+
         my = jax.lax.axis_index(axis)
         diag = jax.lax.dynamic_slice(L_local, _i32(0, my * b), (b, b))
         return jax.lax.psum(
-            2.0 * jnp.sum(jnp.log(jnp.diagonal(diag))), axis
+            2.0 * accurate_sum_of_logs(jnp.diagonal(diag)), axis
         )
 
     fn = jax.shard_map(

@@ -380,14 +380,15 @@ def distributed_log_determinant_2d(L, mesh, row_axis="data", col_axis="model"):
     br, bc = n // R, n // C
 
     def local(L_local):
+        from ..ops.compensated import accurate_sum_of_logs
+
         i = jax.lax.axis_index(row_axis)
         j = jax.lax.axis_index(col_axis)
         rows_g = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 0) + i * br
         cols_g = jax.lax.broadcasted_iota(jnp.int32, (br, bc), 1) + j * bc
         on_diag = rows_g == cols_g
-        vals = jnp.where(on_diag, L_local, 1.0)
         return jax.lax.psum(
-            2.0 * jnp.sum(jnp.where(on_diag, jnp.log(vals), 0.0)),
+            2.0 * accurate_sum_of_logs(L_local, where=on_diag),
             (row_axis, col_axis),
         )
 

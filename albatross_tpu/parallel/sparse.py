@@ -156,7 +156,9 @@ class DistributedSparseGaussianProcessRegression(
             Phi, self.mesh, self.axis, extra=K_uu_chol.L.T
         )
         log_det_a = A_chol.log_determinant()
-        log_det_r = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(R))))
+        from ..ops.compensated import accurate_sum_of_logs
+
+        log_det_r = accurate_sum_of_logs(jnp.abs(jnp.diagonal(R)))
         log_det = log_det_a + 2.0 * log_det_r - K_uu_chol.log_determinant()
 
         y_a = A_chol.solve(y)

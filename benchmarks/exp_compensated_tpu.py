@@ -139,12 +139,14 @@ def main():
         }), flush=True)
 
     # ---- dw panel-size sweep ----------------------------------------------
-    # Measured 2026-08-20: dw carry + X6 products + GLOBAL matmul=HIGHEST
-    # all leave the logdet error bit-identical at 2.33e-6 — so the floor
-    # must live inside the builtin b×b cholesky custom-call (whose internal
-    # precision ignores every knob).  Shrinking block_size moves work out
-    # of the builtin into our controlled-precision GEMMs; if the error
-    # falls with b, the builtin is confirmed as the source.
+    # RESOLVED 2026-08-20: the knob-immune 2.33e-6 "floor" was never the
+    # factorization — host f64 logs of the device's own chol diagonal gave
+    # 2.5e-8, pinning it on TPU's ~100×-ulp BIASED builtin f32 log.  With
+    # accurate_log (ops/compensated.py) wired into every log-det path the
+    # on-chip ladder lands at logdet 3.2e-8 / total 7.6e-8 rel.  This
+    # sweep (builtin log on purpose, via the raw jnp.log below) remains as
+    # the discriminating control: its rows still show the biased-log
+    # error, b-independent.
     if os.environ.get("ALBATROSS_EXP_DW_SWEEP", "1") != "0":
         from albatross_tpu.ops.compensated import blocked_cholesky_dw, dw_sum
 
@@ -173,12 +175,10 @@ def main():
         ("cholhigh", "high", None),
         ("cholhighest", "highest", None),
         # dw carry + X6 GEMMs (X9 rejected by the v5e AOT compiler).
-        # Measured 2026-08-20: logdet stays at 2.33e-6 — same floor as
-        # cholhighest — so neither storage rounding nor (3-pass) product
-        # rounding is the culprit.  Remaining suspect: the builtin b×b
-        # panel cholesky / triangular-solve INTERNAL matmuls, which run at
-        # DEFAULT (single-bf16-pass) precision regardless of our explicit
-        # per-GEMM settings.
+        # Post-accurate_log (2026-08-20): comp total 7.6e-8, identical to
+        # cholhighest — at this conditioning the dw carry adds nothing on
+        # top of 3-pass GEMMs; it matters when storage rounding across
+        # many panels binds.
         ("doubleword", "double_word", None),
         # the discriminating row: force EVERY matmul (incl. decomposition
         # internals) to HIGHEST via the global default

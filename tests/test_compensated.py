@@ -315,3 +315,36 @@ def test_accurate_log_sub_ulp_and_unbiased(rng):
         lambda v: jnp.sum(accurate_log(v)[0] + accurate_log(v)[1])
     )(jnp.asarray([0.5, 2.0], jnp.float32))
     np.testing.assert_allclose(np.asarray(g), [2.0, 0.5], rtol=1e-6)
+
+
+def test_accurate_sum_of_logs_masked_and_grad(rng):
+    """accurate_sum_of_logs serves every log-det site (single-chip,
+    shard_map-local, batched block-diagonal): masked entries contribute
+    exactly zero, the f32 result matches the f64 sum to the final f32
+    rounding (the return is a single word, so ~eps(f32) relative is the
+    floor — the double-word internals remove the O(√N·eps) accumulation
+    on top), f64 inputs pass through, and gradients flow (zero on masked
+    slots)."""
+    from albatross_tpu.ops.compensated import accurate_sum_of_logs
+
+    vals = rng.uniform(0.1, 3.0, (64, 32)).astype(np.float32)
+    mask = rng.uniform(size=(64, 32)) > 0.3
+    got = float(accurate_sum_of_logs(jnp.asarray(vals), where=jnp.asarray(mask)))
+    exact = np.sum(np.log(vals.astype(np.float64))[mask])
+    assert abs(got - exact) / abs(exact) < 1.2e-7  # one f32 ulp
+    # garbage (non-positive) masked entries must not poison the sum
+    vals_bad = vals.copy()
+    vals_bad[~mask] = -7.0
+    got_bad = float(
+        accurate_sum_of_logs(jnp.asarray(vals_bad), where=jnp.asarray(mask))
+    )
+    assert got_bad == got
+    # f64 passthrough
+    v64 = rng.uniform(0.1, 3.0, 100)
+    got64 = float(accurate_sum_of_logs(jnp.asarray(v64, jnp.float64)))
+    assert got64 == pytest.approx(np.sum(np.log(v64)), rel=1e-14)
+    # gradient: d/dv sum log v = 1/v on kept entries, 0 on masked
+    v = jnp.asarray([0.5, 2.0, 4.0], jnp.float32)
+    m = jnp.asarray([True, False, True])
+    g = jax.grad(lambda v: accurate_sum_of_logs(v, where=m))(v)
+    np.testing.assert_allclose(np.asarray(g), [2.0, 0.0, 0.25], rtol=1e-6)

@@ -244,3 +244,33 @@ def test_sparse_fit_predict_under_jit(rng):
     np.testing.assert_allclose(
         np.asarray(var), np.asarray(eager.variance), rtol=1e-9
     )
+
+
+def test_sparse_fitc_f32_coincident_inducing_point_finite(rng):
+    """In pure f32 (the TPU default), an inducing point that coincides with
+    a training point cancels the FITC residual k − q to ~0, and the f32
+    rounding can land a few ulps negative — sqrt(a_diag) then NaN'd the
+    whole fit (measured −3.5e-7 with UniformlySpacedInducingPoints, whose
+    endpoints always coincide with min/max of the training inputs).  The
+    rounding-scale clamp (same policy as gp_marginal_prediction) must keep
+    NLML/fit/predict finite without masking genuinely indefinite
+    residuals."""
+    import jax
+    import albatross_tpu as ab
+
+    with jax.enable_x64(False):  # true TPU-default f32 mode
+        x = jnp.asarray(np.sort(rng.uniform(0, 10, 300)), jnp.float32)
+        data = ab.RegressionDataset.create(x, jnp.sin(x))
+        model = sparse_gp_from_covariance(
+            ab.SquaredExponential(2.0, 1.0) + ab.IndependentNoise(0.1),
+            inducing_point_strategy=ab.UniformlySpacedInducingPoints(32),
+        )
+        ll = float(model.log_likelihood(data))
+        assert np.isfinite(ll)
+        xs = jnp.linspace(0, 10, 20, dtype=jnp.float32)
+        pred = model.fit(data).predict(xs).marginal()
+        assert pred.mean.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(pred.mean)))
+        assert np.all(np.isfinite(np.asarray(pred.variance)))
+        rmse = float(jnp.sqrt(jnp.mean((pred.mean - jnp.sin(xs)) ** 2)))
+        assert rmse < 0.05
