@@ -12,8 +12,11 @@ from .block import (
     build_block_symmetric,
 )
 from .compensated import (
+    accurate_log,
+    accurate_sum_of_logs,
     blocked_cholesky_dw,
     compensated_nll,
+    compensated_nll_dw,
     dot2,
     dw_sum,
     two_prod,

@@ -412,13 +412,18 @@ def blocked_cholesky_dw(
 LOG_2PI = math.log(2.0 * math.pi)
 
 
-def compensated_nll(chol, K, y) -> jax.Array:
-    """½(log|K| + yᵀK⁻¹y + n log 2π) with double-word internals.
+def compensated_nll_dw(chol, K, y) -> tuple[jax.Array, jax.Array]:
+    """½(log|K| + yᵀK⁻¹y + n log 2π) as an unevaluated double word.
 
     ``K`` must be the exact matrix that was factorized into ``chol``
     (including any jitter / target variance on the diagonal).  The three
-    O(N)-magnitude terms are combined in double-word before the final
-    rounding so their cancellation does not reintroduce f32 error.
+    O(N)-magnitude terms are combined in double-word so their
+    cancellation does not reintroduce f32 error.  Returning (hi, lo)
+    matters for measurement: a single-f32 return caps the observable
+    accuracy at one output ulp (~8e-8 relative at |NLML|~7000), which is
+    exactly where the on-chip ladder's single-word rows floored — the
+    internal accuracy is below it.  Combine hi+lo in f64 on the host to
+    see it.
     """
     import numpy as np
 
@@ -434,4 +439,10 @@ def compensated_nll(chol, K, y) -> jax.Array:
     nl = prod - nh
     sh, sl = dw_add(ldh, ldl, qh, ql)
     sh, sl = dw_add(sh, sl, jnp.asarray(nh, dtype), jnp.asarray(nl, dtype))
-    return 0.5 * (sh + sl)
+    return 0.5 * sh, 0.5 * sl
+
+
+def compensated_nll(chol, K, y) -> jax.Array:
+    """Single-word ½(log|K| + yᵀK⁻¹y + n log 2π); see compensated_nll_dw."""
+    h, l = compensated_nll_dw(chol, K, y)
+    return h + l

@@ -307,7 +307,7 @@ def _extra_benchmarks():
     try:
         from albatross_tpu import config
         from albatross_tpu.kernels import as_measurement
-        from albatross_tpu.ops.compensated import compensated_nll
+        from albatross_tpu.ops.compensated import compensated_nll_dw
         from albatross_tpu.ops.linalg import CholeskyFactor
 
         na = 4096
@@ -332,12 +332,15 @@ def _extra_benchmarks():
                 + jnp.sum(white * white)
                 + na * float(np.log(2.0 * np.pi))
             )
-            return compensated_nll(chol, K, y), plain
+            ch, cl = compensated_nll_dw(chol, K, y)
+            return ch, cl, plain
 
         try:
             config.CHOLESKY_PRECISION = "highest"
-            nll_c, nll_p = comp_and_plain(Ka, ya)
-            nll_c, nll_p = float(nll_c), float(nll_p)
+            ch, cl, nll_p = comp_and_plain(Ka, ya)
+            # combine the double word in f64 on host: a single-f32 result
+            # would cap the observable accuracy at one output ulp (~1e-7)
+            nll_c, nll_p = float(ch) + float(cl), float(nll_p)
         finally:
             config.CHOLESKY_PRECISION = None
         K64 = np.asarray(Ka, np.float64)

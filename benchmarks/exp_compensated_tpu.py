@@ -99,11 +99,16 @@ def main():
             )
             ldh, ldl = dw_log_determinant(chol.L)
             qh, ql = refined_quadratic(chol, K, y)
+            # return the double words unevaluated: a single-f32 combine
+            # caps the observable error at one output ulp (~8e-8 at
+            # |logdet|~7000) — the measured floor of the first ladder run
             return (
                 chol.log_determinant(),
                 jnp.sum(white * white),
-                ldh + ldl,
-                qh + ql,
+                ldh,
+                ldl,
+                qh,
+                ql,
             )
 
         ctx = (
@@ -119,7 +124,9 @@ def main():
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             out = jf(K32, y32)
-            ld_p, q_p, ld_c, q_c = (float(v) for v in out)
+            ld_p, q_p, ldh, ldl, qh, ql = (float(v) for v in out)
+            ld_c = ldh + ldl  # host f64 combine
+            q_c = qh + ql
             dt = time.perf_counter() - t0
         finally:
             config.CHOLESKY_PRECISION = None
@@ -170,6 +177,7 @@ def main():
             "unit": "rel vs f64 oracle",
         }), flush=True)
 
+    only = os.environ.get("ALBATROSS_EXP_ROWS")  # comma-separated tag filter
     for tag, precision, global_precision in (
         ("1pass", None, None),
         ("cholhigh", "high", None),
@@ -185,6 +193,8 @@ def main():
         ("doubleword_allhi", "double_word", "highest"),
         ("cholhighest_allhi", "highest", "highest"),
     ):
+        if only and tag not in only.split(","):
+            continue
         parts(tag, precision, global_precision)
 
 
