@@ -112,7 +112,14 @@ class UniformPrior(Prior):
 
     def log_pdf(self, x):
         x = jnp.asarray(x, dtype=jnp.result_type(x, float))
-        inside = (x >= self.lower) & (x <= self.upper)
+        # stage the bounds clamped to the dtype's finite range: the
+        # reference's PARAMETER_MAX (1.8e308, parameters.hpp) overflows an
+        # f32 literal to inf and numpy emits a RuntimeWarning on every
+        # trace in pure-f32 mode; the comparison result is unchanged
+        finfo = jnp.finfo(x.dtype)
+        lo = max(self.lower, float(-finfo.max))
+        hi = min(self.upper, float(finfo.max))
+        inside = (x >= lo) & (x <= hi)
         return jnp.where(inside, -math.log(self.upper - self.lower), -LARGE_VAL)
 
     @property
