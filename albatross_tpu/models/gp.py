@@ -85,6 +85,12 @@ def gp_marginal_prediction(
     # benign case never appears.
     raw = prior_variance - explained_variance
     scale = jnp.abs(prior_variance) + jnp.abs(explained_variance)
+    # Window 1e-3·scale, NOT an eps-multiple: ``explained`` carries the
+    # triangular-solve's forward error ~ κ(K)·eps — solve-amplified, not
+    # plain dot rounding (measured −2e-5 relative on a κ~1e3 60-pt sinc
+    # fit, ~200× the n·eps dot bound).  1e-3 covers κ up to ~1e4·(1/eps
+    # margin) while still letting a genuinely failed factorization
+    # (κ-unbounded, raw ~ −scale) pass through and surface as NaN.
     rounding_negative = raw >= -1e-3 * scale
     return MarginalDistribution(
         pred, jnp.where(rounding_negative, jnp.maximum(raw, 0.0), raw)

@@ -262,6 +262,13 @@ class SparseGaussianProcessRegression(ModelBase):
             # kernel, broken factorization) still surfaces as NaN instead
             # of being silently floored.  The reference runs f64 LDLT
             # where the benign case stays positive (sparse_gp.hpp nugget).
+            # Window 1e-3·scale, NOT an eps-multiple: P carries the K_uu
+            # triangular-solve forward error ~ κ(K_uu)·eps, so the k−q
+            # cancellation can round κ·eps·scale negative — far past the
+            # u·eps dot bound once the inducing gram is even moderately
+            # conditioned (the measured −3.5e-7 was a κ~1 unit kernel).
+            # 1e-3 covers κ up to ~1e4 while a genuinely indefinite
+            # residual (raw ~ −scale) still passes through and NaNs.
             scale = k_diag + q_diag
             raw = jnp.where((raw < 0) & (raw >= -1e-3 * scale), 0.0, raw)
             a_diag = raw + self.measurement_nugget.value

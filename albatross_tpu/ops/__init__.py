@@ -13,6 +13,7 @@ from .block import (
 )
 from .compensated import (
     accurate_log,
+    accurate_log_guarded,
     accurate_sum_of_logs,
     blocked_cholesky_dw,
     compensated_nll,

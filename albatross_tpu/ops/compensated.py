@@ -162,6 +162,42 @@ def _accurate_log_jvp(primals, tangents):
     return (h, l), (dx / jnp.asarray(x, jnp.float32), jnp.zeros_like(h))
 
 
+def _log_validity(x):
+    """True where accurate_log's bitwise reduction is meaningful: positive
+    finite normal f32.  Everything else (0, negatives, NaN, inf,
+    subnormals) must take the builtin log's domain semantics."""
+    return jnp.isfinite(x) & (x >= jnp.finfo(jnp.float32).tiny)
+
+
+def accurate_log_guarded(x):
+    """accurate_log with the builtin's domain semantics restored.
+
+    The bitwise reduction is only meaningful for positive finite NORMAL
+    f32 inputs; for everything else (0 → -inf, negative → NaN, NaN → NaN,
+    inf → inf, subnormal → builtin value) fall back to ``jnp.log`` so a
+    failed factorization or negative variance still surfaces as
+    -inf/NaN instead of a finite wrong log-det (the surface-as-NaN
+    policy, models/gp.py)."""
+    x = jnp.asarray(x, jnp.float32)
+    h, l = accurate_log(x)
+    valid = _log_validity(x)
+    return jnp.where(valid, h, jnp.log(x)), jnp.where(valid, l, 0.0)
+
+
+def _guarded_log_terms(flat):
+    """Split Σ log over f32 ``flat`` into a double-word part over the valid
+    entries plus a builtin-log sum over the invalid ones.  Invalid entries
+    CANNOT ride the dw reduction (two_sum of ±inf/NaN yields NaN even when
+    the IEEE answer is -inf), so they are summed with plain addition, which
+    keeps exact -inf/NaN propagation."""
+    valid = _log_validity(flat)
+    h, l = accurate_log(jnp.where(valid, flat, jnp.ones((), flat.dtype)))
+    h = jnp.where(valid, h, 0.0)
+    l = jnp.where(valid, l, 0.0)
+    bad = jnp.sum(jnp.where(valid, jnp.zeros((), flat.dtype), jnp.log(flat)))
+    return h, l, bad
+
+
 def dw_log_determinant(L) -> tuple[jax.Array, jax.Array]:
     """2 Σ log diag(L): accurate per-element logs + double-word reduction.
 
@@ -170,8 +206,9 @@ def dw_log_determinant(L) -> tuple[jax.Array, jax.Array]:
     correctly rounded there)."""
     diag = jnp.diagonal(L)
     if diag.dtype == jnp.float32:
-        lh, ll = accurate_log(diag)
+        lh, ll, bad = _guarded_log_terms(diag)
         h, l = dw_sum(lh, ll)
+        h = h + bad  # exact -inf/NaN propagation for invalid diagonals
     else:
         h, l = dw_sum(jnp.log(diag))
     return 2.0 * h, 2.0 * l
@@ -214,9 +251,10 @@ def accurate_sum_of_logs(x, where=None):
             jnp.asarray(where).reshape(-1), flat, jnp.ones((), flat.dtype)
         )
     if flat.dtype == jnp.float32:
-        h, l = accurate_log(flat)
-    else:
-        h, l = jnp.log(flat), None
+        h, l, bad = _guarded_log_terms(flat)
+        sh, sl = dw_sum(h, l)
+        return sh + sl + bad
+    h, l = jnp.log(flat), None
     sh, sl = dw_sum(h, l)
     return sh + sl
 

@@ -335,6 +335,7 @@ def _extra_benchmarks():
             ch, cl = compensated_nll_dw(chol, K, y)
             return ch, cl, plain
 
+        prev_precision = config.CHOLESKY_PRECISION
         try:
             config.CHOLESKY_PRECISION = "highest"
             ch, cl, nll_p = comp_and_plain(Ka, ya)
@@ -342,7 +343,7 @@ def _extra_benchmarks():
             # would cap the observable accuracy at one output ulp (~1e-7)
             nll_c, nll_p = float(ch) + float(cl), float(nll_p)
         finally:
-            config.CHOLESKY_PRECISION = None
+            config.CHOLESKY_PRECISION = prev_precision
         K64 = np.asarray(Ka, np.float64)
         L64 = np.linalg.cholesky(K64)
         w64 = np.linalg.solve(L64, np.asarray(ya, np.float64))

@@ -348,3 +348,38 @@ def test_accurate_sum_of_logs_masked_and_grad(rng):
     m = jnp.asarray([True, False, True])
     g = jax.grad(lambda v: accurate_sum_of_logs(v, where=m))(v)
     np.testing.assert_allclose(np.asarray(g), [2.0, 0.0, 0.25], rtol=1e-6)
+
+
+def test_accurate_log_guarded_invalid_inputs_propagate():
+    """Advisor round-3 medium: accurate_log's bitwise reduction returns
+    finite garbage for 0/negative/NaN inputs, and accurate_sum_of_logs
+    feeds every log-det site — a failed factorization must still surface
+    as -inf/NaN (the surface-as-NaN policy), not a finite wrong value."""
+    from albatross_tpu.ops.compensated import (
+        accurate_log_guarded,
+        accurate_sum_of_logs,
+    )
+
+    x = jnp.asarray([2.0, 0.0, -0.5, np.nan, np.inf], jnp.float32)
+    h, l = accurate_log_guarded(x)
+    got = np.asarray(h) + np.asarray(l)
+    assert got[0] == pytest.approx(math.log(2.0), rel=1e-7)
+    assert got[1] == -np.inf
+    assert np.isnan(got[2])
+    assert np.isnan(got[3])
+    assert got[4] == np.inf
+    # the sum-of-logs contract: one bad entry poisons the total
+    assert np.isnan(float(accurate_sum_of_logs(jnp.asarray([1.0, -0.5, 2.0], jnp.float32))))
+    assert float(accurate_sum_of_logs(jnp.asarray([1.0, 0.0, 2.0], jnp.float32))) == -np.inf
+    # ...and the entropy route the advisor exercised
+    from albatross_tpu.evaluation.entropy import differential_entropy
+
+    assert np.isnan(float(differential_entropy(jnp.asarray([1.0, -0.5, 2.0], jnp.float32))))
+    # masked invalid entries still contribute exactly zero
+    s = float(
+        accurate_sum_of_logs(
+            jnp.asarray([1.0, -0.5, 2.0], jnp.float32),
+            where=jnp.asarray([True, False, True]),
+        )
+    )
+    assert s == pytest.approx(math.log(2.0), rel=1e-6)
