@@ -19,6 +19,7 @@ import enum
 import math
 from typing import Callable, Dict, List, Optional
 
+import jax
 import numpy as np
 
 from ..core.dataset import RegressionDataset
@@ -65,9 +66,13 @@ class RansacConfig:
     max_failed_candidates: int = 0
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class RansacIteration:
-    """Audit trail for one iteration (ransac.hpp:89-118)."""
+    """Audit trail for one iteration (ransac.hpp:89-118).
+
+    ``eq=False`` keeps default identity hash/eq: the audit trail rides
+    pytree AUX data (RansacFit below), where hashability is required for
+    jit-cache keys."""
 
     candidates: List = dataclasses.field(default_factory=list)
     inliers: Dict = dataclasses.field(default_factory=dict)
@@ -78,9 +83,9 @@ class RansacIteration:
         return list(self.candidates) + list(self.inliers.keys())
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class RansacOutput:
-    """(ransac.hpp:120-132)"""
+    """(ransac.hpp:120-132); eq=False: see RansacIteration."""
 
     return_code: RansacReturnCode = RansacReturnCode.INVALID
     best: RansacIteration = dataclasses.field(default_factory=RansacIteration)
@@ -492,10 +497,25 @@ def ransac_gp_batched(
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass
 class RansacFit:
-    """Fit state: audit trail + the sub-model refit on the consensus set."""
+    """Fit state: audit trail + the sub-model refit on the consensus set.
+
+    Registered as a pytree (fit_model = child, audit trail = static aux)
+    so RANSAC fits checkpoint/restore like every other fit
+    (serialize/checkpoint.py; the reference serializes its RansacOutput
+    through cereal, test_serialize.cc)."""
 
     ransac_output: RansacOutput
     fit_model: Optional[FitModel]
+
+    def tree_flatten(self):
+        return (self.fit_model,), self.ransac_output
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux, children[0])
+
+
+jax.tree_util.register_pytree_node_class(RansacFit)
 
 
 class Ransac(ModelBase):

@@ -50,7 +50,31 @@ _ALLOWED_MODULE_PREFIXES = (
 CLASS_RENAMES: dict = {}
 
 
+class _MeshAwarePickler(pickle.Pickler):
+    """Externalizes ``jax.sharding.Mesh`` nodes (they hold live Device
+    handles, which cannot — and should not — be pickled): a mesh is stored
+    as its (axis_names, device_grid_shape) signature and rebound to the
+    loading process's own devices at restore time.  The TPU analog of the
+    reference checkpointing compute-topology-free state (cereal never
+    archives thread pools either)."""
+
+    def persistent_id(self, obj):
+        from jax.sharding import Mesh
+
+        if isinstance(obj, Mesh):
+            return (
+                "albatross_tpu.mesh",
+                tuple(obj.axis_names),
+                tuple(obj.devices.shape),
+            )
+        return None
+
+
 class _RestrictedUnpickler(pickle.Unpickler):
+    def __init__(self, file, mesh=None):
+        super().__init__(file)
+        self._mesh = mesh
+
     def find_class(self, module, name):
         module, name = CLASS_RENAMES.get((module, name), (module, name))
         root = module.split(".")[0]
@@ -61,9 +85,33 @@ class _RestrictedUnpickler(pickle.Unpickler):
             )
         return super().find_class(module, name)
 
+    def persistent_load(self, pid):
+        import jax as _jax
+        from jax.sharding import Mesh
 
-def _restricted_loads(data: bytes):
-    return _RestrictedUnpickler(io.BytesIO(data)).load()
+        kind, axis_names, shape = pid
+        if kind != "albatross_tpu.mesh":
+            raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+        if self._mesh is not None:
+            if tuple(self._mesh.axis_names) != tuple(axis_names):
+                raise ValueError(
+                    f"checkpoint mesh axes {axis_names} do not match the "
+                    f"provided mesh axes {tuple(self._mesh.axis_names)}"
+                )
+            return self._mesh
+        need = int(np.prod(shape))
+        devices = _jax.devices()
+        if len(devices) < need:
+            raise ValueError(
+                f"checkpoint was saved on a {shape} device mesh "
+                f"({need} devices) but only {len(devices)} are visible; "
+                "pass load_checkpoint(..., mesh=...) to rebind explicitly"
+            )
+        return Mesh(np.asarray(devices[:need]).reshape(shape), axis_names)
+
+
+def _restricted_loads(data: bytes, mesh=None):
+    return _RestrictedUnpickler(io.BytesIO(data), mesh=mesh).load()
 
 
 def save_checkpoint(path: str, obj: Any) -> None:
@@ -71,14 +119,18 @@ def save_checkpoint(path: str, obj: Any) -> None:
 
     Array leaves are materialized to host and zlib-compressed (the cereal
     archives zstd-compress Eigen payloads, cereal/eigen.hpp:25-64).
+    Distributed fits (mesh-bound factors) are topology-portable: the mesh
+    is stored by signature and rebound at load (see _MeshAwarePickler).
     """
     leaves, treedef = jax.tree_util.tree_flatten(obj)
     host_leaves = [np.asarray(jax.device_get(leaf)) for leaf in leaves]
     buffer = io.BytesIO()
     np.savez(buffer, *host_leaves)
+    td_buf = io.BytesIO()
+    _MeshAwarePickler(td_buf).dump(treedef)
     payload = {
         "version": SERIALIZATION_VERSION,
-        "treedef": pickle.dumps(treedef),
+        "treedef": td_buf.getvalue(),
         "arrays": zlib.compress(buffer.getvalue(), level=3),
     }
     with open(path, "wb") as f:
@@ -86,7 +138,10 @@ def save_checkpoint(path: str, obj: Any) -> None:
         pickle.dump(payload, f)
 
 
-def load_checkpoint(path: str) -> Any:
+def load_checkpoint(path: str, mesh=None) -> Any:
+    """Restore a checkpoint.  ``mesh``: optional Mesh to rebind any
+    distributed (mesh-bound) state onto; defaults to a mesh of the same
+    axis names/shape over this process's devices."""
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:
@@ -97,7 +152,7 @@ def load_checkpoint(path: str) -> Any:
             f"checkpoint version {payload['version']} is newer than "
             f"supported {SERIALIZATION_VERSION}"
         )
-    treedef = _restricted_loads(payload["treedef"])
+    treedef = _restricted_loads(payload["treedef"], mesh=mesh)
     data = np.load(io.BytesIO(zlib.decompress(payload["arrays"])))
     leaves = [data[key] for key in data.files]
     import jax.numpy as jnp
