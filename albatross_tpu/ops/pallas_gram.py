@@ -47,19 +47,91 @@ def _apply_profile(profile: str, d2, length_scale, sigma):
     raise ValueError(f"unknown profile {profile}")
 
 
+# Largest d/ls where a profile is still > ~1e-3·σ² — the refinement radius
+# of the MXU distance path (see _gram_kernel): beyond it, kernel values (and
+# therefore any d² error) are negligible; inside it, tiles recompute the
+# distances elementwise-exactly.  (d/ls)² bounds: SE e^{-x²}<1e-3 at x²=7;
+# exponential e^{-x}<1e-3 at x=6.9 → x²=48; matérns decay slower → 81.
+_REFINE_D2_OVER_LS2 = {
+    "squared_exponential": 7.0,
+    "exponential": 48.0,
+    "matern_32": 81.0,
+    "matern_52": 81.0,
+}
+
+# Feature count at which the kernel switches from the elementwise VPU loop
+# (exact, O(D·T²) vector ops — fine for small D) to the MXU contraction
+# (VERDICT r3 #3: at D=32 the python-over-D VPU loop was 32 sequential
+# (T,T) passes and lost to plain XLA by 1.6×).
+_MXU_MIN_D = 8
+
+
+def _elementwise_d2(x, y, d: int):
+    """Exact squared distances: (x_k − y_k)² accumulated on the VPU.
+    Bitwise-symmetric (negation and square are exact), zero on the
+    diagonal when x is y — the reference's per-pair semantics
+    (distance_metrics.hpp) at f32."""
+    d2 = jnp.zeros((x.shape[0], y.shape[0]), dtype=jnp.float32)
+    for k in range(d):
+        diff = x[:, k][:, None] - y[:, k][None, :]
+        d2 = d2 + diff * diff
+    return d2
+
+
 def _gram_kernel(params_ref, x_ref, y_ref, out_ref, *, profile: str, d: int):
     length_scale = params_ref[0]
     sigma = params_ref[1]
-    # accumulate squared distances over feature dims on the VPU
-    d2 = jnp.zeros(out_ref.shape, dtype=jnp.float32)
-    for k in range(d):
-        xk = x_ref[:, k][:, None]
-        yk = y_ref[:, k][None, :]
-        diff = xk - yk
-        d2 = d2 + diff * diff
+    if d < _MXU_MIN_D:
+        # small D: the exact VPU loop is cheap and bitwise-symmetric
+        out_ref[:] = _apply_profile(
+            profile, _elementwise_d2(x_ref[:], y_ref[:], d), length_scale,
+            sigma,
+        ).astype(out_ref.dtype)
+        return
+    # MXU contraction: d² = |x−c|² + |y−c|² − 2(x−c)·(y−c)ᵀ on per-tile-pair
+    # CENTERED coordinates.  Centering is what makes the in-tile range safe:
+    # the classic global matmul-trick cancels at eps·‖x‖² absolute (NaN
+    # Cholesky at feature magnitude ~100, CLAUDE.md), while here the error
+    # is eps·(tile spread about c)².  c is symmetric under (i,j)↔(j,i) and
+    # x²/y² use identical reduction code, so the result stays
+    # bitwise-symmetric.  Residual near-field error is then killed by the
+    # refinement below; far-field error is suppressed by the profile itself
+    # (error in k ≈ k·δ/ls², and k < 1e-3·σ² outside the refinement
+    # radius).
+    x = x_ref[:].astype(jnp.float32)
+    y = y_ref[:].astype(jnp.float32)
+    c = 0.5 * (
+        jnp.mean(x, axis=0, keepdims=True)
+        + jnp.mean(y, axis=0, keepdims=True)
+    )
+    xc = x - c
+    yc = y - c
+    x2 = jnp.sum(xc * xc, axis=1, keepdims=True)  # (T, 1)
+    y2 = jnp.sum(yc * yc, axis=1, keepdims=True)  # (T, 1), same reduction
+    cross = jax.lax.dot_general(
+        xc,
+        yc,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(x2 + y2.T - 2.0 * cross, 0.0)
     out_ref[:] = _apply_profile(profile, d2, length_scale, sigma).astype(
         out_ref.dtype
     )
+
+    # near-field refinement: any tile containing a pair inside the
+    # profile's support recomputes exactly (predicated — for spread data
+    # only the ~N/T diagonal-ish tiles trigger, so the D-loop cost is
+    # O(D·T·N), not O(D·N²)).  Diagonal tiles always trigger (d²=0), which
+    # restores the exact k(x,x)=σ² diagonal the factorization relies on.
+    cut = _REFINE_D2_OVER_LS2[profile] * length_scale * length_scale
+
+    @pl.when(jnp.min(d2) <= cut)
+    def _refine():
+        out_ref[:] = _apply_profile(
+            profile, _elementwise_d2(x, y, d), length_scale, sigma
+        ).astype(out_ref.dtype)
 
 
 def _gram_diag_kernel(

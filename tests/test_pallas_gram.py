@@ -105,3 +105,80 @@ def test_fused_training_cov_diag_kernel_interpret(rng):
         np.asarray(got), np.asarray(base) + np.diag(np.asarray(diag)),
         rtol=1e-12,
     )
+
+
+def test_pallas_gram_mxu_path_adversarial_cancellation(rng):
+    """VERDICT r3 #3: the D>8 path now contracts distances on the MXU over
+    per-tile-pair CENTERED coordinates with near-field exact refinement.
+    Adversarial case: feature magnitude ~1e4 with unit-scale structure —
+    the classic global |x|²−2xy trick loses all distance bits to
+    cancellation (error ~ eps·|x|² ≈ 10), while the centered kernel must
+    stay at reference accuracy."""
+    n, d = 300, 16
+    base = 1e4 + rng.standard_normal((1, d))
+    X = jnp.asarray(base + rng.standard_normal((n, d)), dtype=jnp.float32)
+    ls, sigma = 2.0, 1.5
+    K = pallas_radial_gram(X, X, ls, sigma, "squared_exponential",
+                           interpret=True)
+    X64 = np.asarray(X, np.float64)
+    D2 = np.sum((X64[:, None, :] - X64[None, :, :]) ** 2, axis=-1)
+    ref = sigma**2 * np.exp(-D2 / ls**2)
+    np.testing.assert_allclose(np.asarray(K), ref, atol=5e-6)
+    # the global uncentered trick really is broken here (sanity: this is
+    # what the kernel must NOT do)
+    x2 = np.sum(X64.astype(np.float32).astype(np.float64) ** 2, axis=-1)
+    g = np.asarray(X, np.float32) @ np.asarray(X, np.float32).T
+    broken = x2[:, None] + x2[None, :] - 2.0 * g.astype(np.float64)
+    assert np.max(np.abs(broken - D2)) > 1.0  # ~eps·|x|² ≈ 10
+
+
+def test_pallas_gram_mxu_symmetric_and_exact_diagonal(rng):
+    """The MXU path must stay bitwise-symmetric (fit/NLML factorize with
+    assume_symmetric=True) and keep k(x,x) = σ² exact on the diagonal
+    (diagonal tiles always refine through the elementwise path)."""
+    n, d = 280, 32
+    X = jnp.asarray(rng.uniform(0, 100, (n, d)), dtype=jnp.float32)
+    K = np.asarray(
+        pallas_radial_gram(X, X, 10.0, 1.5, "squared_exponential",
+                           interpret=True)
+    )
+    assert np.array_equal(K, K.T)  # bitwise symmetry
+    np.testing.assert_array_equal(np.diag(K), np.full(n, 1.5**2, np.float32))
+    # and against f64 ground truth everywhere
+    X64 = np.asarray(X, np.float64)
+    D2 = np.sum((X64[:, None, :] - X64[None, :, :]) ** 2, axis=-1)
+    ref = 1.5**2 * np.exp(-D2 / 100.0)
+    np.testing.assert_allclose(K, ref, atol=5e-6)
+
+
+@pytest.mark.parametrize("profile", sorted(PROFILES))
+def test_pallas_gram_mxu_matches_closed_form_highd(profile, rng):
+    """Every profile through the MXU path (D=12) against the f64 closed
+    form, including the near-field refinement band."""
+    n, m, d = 260, 180, 12
+    # cluster the data so plenty of pairs fall INSIDE the refinement radius
+    X = jnp.asarray(rng.uniform(0, 6, (n, d)), dtype=jnp.float32)
+    Y = jnp.asarray(rng.uniform(0, 6, (m, d)), dtype=jnp.float32)
+    K = pallas_radial_gram(X, Y, 3.0, 2.0, profile, interpret=True)
+    X64, Y64 = np.asarray(X, np.float64), np.asarray(Y, np.float64)
+    Dm = np.sqrt(np.sum((X64[:, None, :] - Y64[None, :, :]) ** 2, axis=-1))
+    ref = np.asarray(PROFILES[profile](jnp.asarray(Dm), 3.0, 2.0))
+    np.testing.assert_allclose(np.asarray(K), ref, atol=5e-6)
+
+
+def test_pallas_gram_mxu_diag_add(rng):
+    """diag_add epilogue composes with the MXU path (training covariance:
+    exact σ² diagonal + noise/jitter in one pass)."""
+    n, d = 270, 16
+    X = jnp.asarray(rng.uniform(0, 50, (n, d)), dtype=jnp.float32)
+    diag = jnp.asarray(rng.uniform(0.1, 0.5, n), dtype=jnp.float32)
+    got = np.asarray(
+        pallas_radial_gram(X, X, 5.0, 1.2, "matern_32", diag_add=diag,
+                           interpret=True)
+    )
+    base = np.asarray(
+        pallas_radial_gram(X, X, 5.0, 1.2, "matern_32", interpret=True)
+    )
+    np.testing.assert_allclose(
+        got, base + np.diag(np.asarray(diag)), rtol=1e-12
+    )
