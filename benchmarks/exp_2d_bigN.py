@@ -39,11 +39,7 @@ if "xla_force_host_platform_device_count" not in flags:
 # 8 virtual devices time-share this host's cores, so a device can sit at a
 # collective for minutes of wall time at big N; XLA:CPU's default 20 s/40 s
 # rendezvous watchdogs would abort the run (observed at N=16384 on 2 cores)
-flags += (
-    " --xla_cpu_collective_call_warn_stuck_seconds=600"
-    " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
-    " --xla_cpu_collective_timeout_seconds=7200"
-)
+flags += " --xla_cpu_collective_timeout_seconds=7200"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
