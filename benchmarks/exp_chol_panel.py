@@ -74,13 +74,56 @@ def recursive_chol(A, sub):
 
 
 def fused_chol_inverse(A, sub):
-    """Recursive chol that returns (L, W=L^-1) composing W from the
-    sub-inverses computed during the factorization (saves the separate
-    blocked_tri_inverse batched solve)."""
-    L = recursive_chol(A, sub)  # XLA CSEs the shared sub-chols if reused
-    # compose inverse from the SAME sub-blocks (still one batched solve of
-    # diag blocks, but they are the recursion's Lkk so XLA reuses them)
-    return L, blocked_tri_inverse(L, sub)
+    """Right-looking blocked chol of the panel that ALSO returns W = L⁻¹,
+    composed from the sub-block inverses the recursion materializes anyway
+    (each winv serves both the sub-panel solve and the W row recursion —
+    no separate blocked_tri_inverse pass, no batched re-solve)."""
+    n = A.shape[0]
+    S = n // sub
+    eye = jnp.eye(sub, dtype=A.dtype)
+    cols = [
+        jax.lax.slice(A, (0, k * sub), (n, (k + 1) * sub)) for k in range(S)
+    ]
+    lkk, winv, belows = [], [], []
+    for k in range(S):
+        k0 = k * sub
+        Lkk = jnp.linalg.cholesky(cols[k][k0 : k0 + sub])
+        Wk = solve_triangular(Lkk, eye, lower=True)
+        below = jnp.matmul(cols[k][k0 + sub :], Wk.T)
+        lkk.append(Lkk)
+        winv.append(Wk)
+        belows.append(below)
+        for j in range(k + 1, S):
+            j0 = j * sub
+            Lj = below[j0 - k0 - sub : j0 - k0]
+            Lrows = below[j0 - k0 - sub :]
+            upd = cols[j][j0:] - Lrows @ Lj.T
+            cols[j] = jnp.concatenate([cols[j][:j0], upd], axis=0)
+    L = jnp.tril(
+        jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [jnp.zeros((k * sub, sub), A.dtype), lkk[k], belows[k]],
+                    axis=0,
+                )
+                for k in range(S)
+            ],
+            axis=1,
+        )
+    )
+    # W row recursion reusing winv: W[r, :r0] = -winv[r] (L[r, :r0] W[:r0])
+    Wtop = jnp.concatenate(
+        [winv[0], jnp.zeros((sub, n - sub), A.dtype)], axis=1
+    )
+    for r in range(1, S):
+        r0 = r * sub
+        Lr = jax.lax.slice(L, (r0, 0), (r0 + sub, r0))
+        left = -jnp.matmul(winv[r], jnp.matmul(Lr, Wtop[:, :r0]))
+        row = jnp.concatenate(
+            [left, winv[r], jnp.zeros((sub, n - r0 - sub), A.dtype)], axis=1
+        )
+        Wtop = jnp.concatenate([Wtop, row], axis=0)
+    return L, Wtop
 
 
 def main() -> None:
