@@ -185,15 +185,23 @@ def accurate_log_guarded(x):
 
 
 def _guarded_log_terms(flat):
-    """Split Σ log over f32 ``flat`` into a double-word part over the valid
+    """Split Σ log over ``flat`` into a double-word part over the valid
     entries plus a builtin-log sum over the invalid ones.  Invalid entries
     CANNOT ride the dw reduction (two_sum of ±inf/NaN yields NaN even when
     the IEEE answer is -inf), so they are summed with plain addition, which
-    keeps exact -inf/NaN propagation."""
-    valid = _log_validity(flat)
-    h, l = accurate_log(jnp.where(valid, flat, jnp.ones((), flat.dtype)))
-    h = jnp.where(valid, h, 0.0)
-    l = jnp.where(valid, l, 0.0)
+    keeps exact -inf/NaN propagation — for f64 exactly as for f32 (the f64
+    per-element log is the builtin either way; only the f32 path routes
+    through accurate_log)."""
+    f32 = flat.dtype == jnp.float32
+    valid = jnp.isfinite(flat) & (flat >= jnp.finfo(flat.dtype).tiny)
+    safe = jnp.where(valid, flat, jnp.ones((), flat.dtype))
+    if f32:
+        h, l = accurate_log(safe)
+        h = jnp.where(valid, h, 0.0)
+        l = jnp.where(valid, l, 0.0)
+    else:
+        h = jnp.where(valid, jnp.log(safe), 0.0)
+        l = None
     bad = jnp.sum(jnp.where(valid, jnp.zeros((), flat.dtype), jnp.log(flat)))
     return h, l, bad
 
@@ -205,12 +213,9 @@ def dw_log_determinant(L) -> tuple[jax.Array, jax.Array]:
     ``accurate_log``); f64-capable backends keep the builtin (already
     correctly rounded there)."""
     diag = jnp.diagonal(L)
-    if diag.dtype == jnp.float32:
-        lh, ll, bad = _guarded_log_terms(diag)
-        h, l = dw_sum(lh, ll)
-        h = h + bad  # exact -inf/NaN propagation for invalid diagonals
-    else:
-        h, l = dw_sum(jnp.log(diag))
+    lh, ll, bad = _guarded_log_terms(diag)
+    h, l = dw_sum(lh, ll)
+    h = h + bad  # exact -inf/NaN propagation for invalid diagonals
     return 2.0 * h, 2.0 * l
 
 
@@ -250,13 +255,9 @@ def accurate_sum_of_logs(x, where=None):
         flat = jnp.where(
             jnp.asarray(where).reshape(-1), flat, jnp.ones((), flat.dtype)
         )
-    if flat.dtype == jnp.float32:
-        h, l, bad = _guarded_log_terms(flat)
-        sh, sl = dw_sum(h, l)
-        return sh + sl + bad
-    h, l = jnp.log(flat), None
+    h, l, bad = _guarded_log_terms(flat)
     sh, sl = dw_sum(h, l)
-    return sh + sl
+    return sh + sl + bad
 
 
 def refined_quadratic(

@@ -67,11 +67,11 @@ _MXU_MIN_D = 8
 
 
 def _elementwise_d2(x, y, d: int):
-    """Exact squared distances: (x_k − y_k)² accumulated on the VPU.
-    Bitwise-symmetric (negation and square are exact), zero on the
-    diagonal when x is y — the reference's per-pair semantics
-    (distance_metrics.hpp) at f32."""
-    d2 = jnp.zeros((x.shape[0], y.shape[0]), dtype=jnp.float32)
+    """Exact squared distances: (x_k − y_k)² accumulated on the VPU in the
+    input dtype.  Bitwise-symmetric (negation and square are exact), zero
+    on the diagonal when x is y — the reference's per-pair semantics
+    (distance_metrics.hpp)."""
+    d2 = jnp.zeros((x.shape[0], y.shape[0]), dtype=x.dtype)
     for k in range(d):
         diff = x[:, k][:, None] - y[:, k][None, :]
         d2 = d2 + diff * diff
@@ -98,8 +98,8 @@ def _gram_kernel(params_ref, x_ref, y_ref, out_ref, *, profile: str, d: int):
     # refinement below; far-field error is suppressed by the profile itself
     # (error in k ≈ k·δ/ls², and k < 1e-3·σ² outside the refinement
     # radius).
-    x = x_ref[:].astype(jnp.float32)
-    y = y_ref[:].astype(jnp.float32)
+    x = x_ref[:]  # input dtype preserved (f64 callers keep f64 accuracy)
+    y = y_ref[:]
     c = 0.5 * (
         jnp.mean(x, axis=0, keepdims=True)
         + jnp.mean(y, axis=0, keepdims=True)
@@ -112,7 +112,7 @@ def _gram_kernel(params_ref, x_ref, y_ref, out_ref, *, profile: str, d: int):
         xc,
         yc,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
     d2 = jnp.maximum(x2 + y2.T - 2.0 * cross, 0.0)
@@ -157,12 +157,23 @@ def _gram_diag_kernel(
         )
 
 
-def _pad_rows(arr, multiple):
+def _pad_rows(arr, multiple, edge: bool = False):
+    """Pad rows up to a tile multiple.  ``edge=True`` replicates the last
+    row instead of zero-filling: the padded outputs are sliced away either
+    way, but the MXU path's per-tile CENTER is a mean over all tile rows —
+    zero rows in a partial tile would drag the center toward the origin
+    and reintroduce exactly the large-|x| cancellation the centering
+    exists to remove (review finding, round 4)."""
     n = arr.shape[0]
     padded = (n + multiple - 1) // multiple * multiple
     if padded == n:
         return arr, n
-    pad = jnp.zeros((padded - n,) + arr.shape[1:], dtype=arr.dtype)
+    if edge:
+        pad = jnp.broadcast_to(
+            arr[-1:], (padded - n,) + arr.shape[1:]
+        ).astype(arr.dtype)
+    else:
+        pad = jnp.zeros((padded - n,) + arr.shape[1:], dtype=arr.dtype)
     return jnp.concatenate([arr, pad], axis=0), n
 
 
@@ -197,10 +208,13 @@ def pallas_radial_gram(
     d = X.shape[1]
     dtype = X.dtype
 
-    Xp, n = _pad_rows(X, tile)
-    Yp, m = _pad_rows(Y, tile)
+    Xp, n = _pad_rows(X, tile, edge=True)
+    Yp, m = _pad_rows(Y, tile, edge=True)
+    # scalar params ride SMEM in the INPUT dtype: an f64 caller (CPU/x64)
+    # must not have its hyperparameters silently rounded to f32
     params = jnp.asarray(
-        [length_scale, sigma], dtype=jnp.float32
+        [length_scale, sigma],
+        dtype=jnp.float64 if dtype == jnp.float64 else jnp.float32,
     )
 
     grid = (Xp.shape[0] // tile, Yp.shape[0] // tile)

@@ -98,6 +98,15 @@ class _RestrictedUnpickler(pickle.Unpickler):
                     f"checkpoint mesh axes {axis_names} do not match the "
                     f"provided mesh axes {tuple(self._mesh.axis_names)}"
                 )
+            if tuple(self._mesh.devices.shape) != tuple(shape):
+                # sharded state (panel counts, row splits) is laid out for
+                # the saved grid — a differently shaped mesh would fail
+                # deep inside shard_map or silently reshard
+                raise ValueError(
+                    f"checkpoint mesh grid {tuple(shape)} does not match "
+                    f"the provided mesh grid "
+                    f"{tuple(self._mesh.devices.shape)}"
+                )
             return self._mesh
         need = int(np.prod(shape))
         devices = _jax.devices()

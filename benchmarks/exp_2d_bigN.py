@@ -36,11 +36,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = flags + " --xla_force_host_platform_device_count=8"
-# 8 virtual devices time-share this host's cores, so a device can sit at a
-# collective for minutes of wall time at big N; XLA:CPU's default 20 s/40 s
-# rendezvous watchdogs would abort the run (observed at N=16384 on 2 cores)
-flags += " --xla_cpu_collective_timeout_seconds=7200"
 os.environ["XLA_FLAGS"] = flags.strip()
+
+# 8 virtual devices time-share this host's 2 cores, so a device can sit at
+# a collective for minutes of wall time at big N; XLA:CPU's default 20 s /
+# 40 s rendezvous watchdogs abort the run (observed at N=16384).  The
+# debug options are not registered as XLA_FLAGS in this jaxlib build, but
+# per-compile ``compiler_options`` accepts them.
+WATCHDOG_OPTS = {
+    "xla_cpu_collective_call_warn_stuck_seconds": "600",
+    "xla_cpu_collective_call_terminate_timeout_seconds": "7200",
+}
 
 import jax
 
@@ -92,12 +98,16 @@ def main() -> None:
         params0 = model.get_params()
         theta0 = model.get_tunable_parameters().values
 
-        @jax.jit
         def vg(theta):
             m = model.set_params(set_tunable_params(params0, theta))
             return -m.log_likelihood(data)
 
-        return jax.jit(jax.value_and_grad(vg)), theta0
+        compiled = (
+            jax.jit(jax.value_and_grad(vg))
+            .lower(theta0)
+            .compile(compiler_options=WATCHDOG_OPTS)
+        )
+        return compiled, theta0
 
     report: dict = {"n": n, "dtype": "float64", "mesh": "4x2", "rows": []}
 

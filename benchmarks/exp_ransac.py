@@ -68,9 +68,13 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return dt, fit.fit.ransac_output
 
-    # warm the jit caches with a tiny config so compile time is excluded
+    # warm the jit caches so compile time is excluded from BOTH arms.  The
+    # batched program's shapes depend on max_iterations (n_draws), so it
+    # must warm at the REAL config (review finding, round 4); the serial
+    # loop's per-candidate jits key only on (s·u)/(G,u) shapes, which a
+    # 2-iteration config already produces.
+    model.ransac(strategy, config, use_batched=True).fit(data)
     warm = RansacConfig(1.0, 16, 400, 2, 10)
-    model.ransac(strategy, warm, use_batched=True).fit(data)
     model.ransac(strategy, warm, use_batched=False).fit(data)
 
     t_batched, out_b = run(True)

@@ -110,7 +110,26 @@ _SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    seen = set()
+    collected_files = set()
     for item in items:
         nodeid = item.nodeid.split("tests/")[-1]
+        collected_files.add(nodeid.split("::")[0])
         if nodeid in _SLOW_TESTS:
+            seen.add(nodeid)
             item.add_marker(pytest.mark.slow)
+    # keep the central list honest against renames: warn when an entry's
+    # FILE was collected but the listed test no longer exists (a renamed
+    # slow test would otherwise silently rejoin the quick lane)
+    stale = {
+        t
+        for t in _SLOW_TESTS - seen
+        if t.split("::")[0] in collected_files
+    }
+    if stale:
+        import warnings
+
+        warnings.warn(
+            f"_SLOW_TESTS entries match no collected test: {sorted(stale)}",
+            stacklevel=1,
+        )

@@ -383,3 +383,23 @@ def test_accurate_log_guarded_invalid_inputs_propagate():
         )
     )
     assert s == pytest.approx(math.log(2.0), rel=1e-6)
+
+
+def test_accurate_sum_of_logs_f64_invalid_inputs_propagate():
+    """Round-4 review finding: the f64 branch must keep the same domain
+    semantics as the guarded f32 path — 0 → -inf, negative → NaN — instead
+    of the dw reduction's two_sum(-inf, x) = NaN."""
+    from albatross_tpu.ops.compensated import (
+        accurate_sum_of_logs,
+        dw_log_determinant,
+    )
+
+    f64 = jnp.float64
+    assert float(accurate_sum_of_logs(jnp.asarray([1.0, 0.0, 2.0], f64))) == -np.inf
+    assert np.isnan(float(accurate_sum_of_logs(jnp.asarray([1.0, -0.5], f64))))
+    ok = float(accurate_sum_of_logs(jnp.asarray([0.5, 2.0, 4.0], f64)))
+    assert ok == pytest.approx(math.log(4.0), rel=1e-14)
+    # dw_log_determinant f64 path: a zero diagonal is a -inf log-det
+    L = jnp.diag(jnp.asarray([1.0, 0.0, 2.0], f64))
+    h, l = dw_log_determinant(L)
+    assert float(h) + float(l) == -np.inf

@@ -182,3 +182,50 @@ def test_pallas_gram_mxu_diag_add(rng):
     np.testing.assert_allclose(
         got, base + np.diag(np.asarray(diag)), rtol=1e-12
     )
+
+
+def test_mxu_centering_not_poisoned_by_padding(rng):
+    """Round-4 review finding: partial tiles are padded, and a zero-pad
+    would drag the per-tile center toward the origin, reintroducing the
+    large-|x| cancellation (emulated f32 error ~1e2 in d²).  Padding must
+    replicate the edge row so the center stays at the data.  Emulates the
+    kernel's exact f32 tile arithmetic with BLAS sgemm (f32 accumulation)
+    — CPU interpret mode accumulates wider and cannot see this."""
+    from albatross_tpu.ops.pallas_gram import _pad_rows
+
+    n, d, tile = 300, 16, 256
+    X = (1e4 + rng.standard_normal((n, d))).astype(np.float32)
+
+    def tile_d2(pad_edge):
+        Xp, _ = _pad_rows(jnp.asarray(X), tile, edge=pad_edge)
+        xt = np.asarray(Xp)[tile : 2 * tile]  # 44 real + 212 pad rows
+        c = xt.mean(0, dtype=np.float32).astype(np.float32)
+        xc = (xt - c).astype(np.float32)
+        x2 = np.einsum("ij,ij->i", xc, xc).astype(np.float32)
+        cross = xc @ xc.T  # sgemm: f32 products + f32 accumulation
+        return (x2[:, None] + x2[None, :] - 2.0 * cross)[:44, :44]
+
+    X64 = X.astype(np.float64)
+    d2_ref = np.sum(
+        (X64[256:, None, :] - X64[None, 256:, :]) ** 2, axis=-1
+    )
+    err_edge = np.max(np.abs(tile_d2(True) - d2_ref))
+    err_zero = np.max(np.abs(tile_d2(False) - d2_ref))
+    assert err_zero > 1.0  # the failure mode is real
+    assert err_edge < 1e-2  # edge padding keeps the center at the data
+
+
+def test_pallas_gram_mxu_preserves_f64(rng):
+    """The MXU path must not silently downcast f64 inputs (round-4 review
+    finding): on CPU/x64 an f64 caller gets f64 accuracy."""
+    n, d = 280, 12
+    X = jnp.asarray(rng.uniform(0, 10, (n, d)), dtype=jnp.float64)
+    K = np.asarray(
+        pallas_radial_gram(X, X, 2.5, 1.5, "squared_exponential",
+                           interpret=True)
+    )
+    assert K.dtype == np.float64
+    X64 = np.asarray(X)
+    D2 = np.sum((X64[:, None, :] - X64[None, :, :]) ** 2, axis=-1)
+    ref = 1.5**2 * np.exp(-D2 / 2.5**2)
+    np.testing.assert_allclose(K, ref, rtol=1e-12, atol=1e-13)

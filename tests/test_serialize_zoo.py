@@ -238,6 +238,13 @@ def test_distributed_fit_checkpoint_rebinds_mesh(tmp_path, rng, layout):
     bad = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("rows", "cols"))
     with pytest.raises(ValueError, match="axes"):
         load_checkpoint(path, mesh=bad)
+    # ...and so is a grid-shape mismatch (same names, different layout):
+    # the sharded factor's panel structure is laid out for the saved grid
+    bad_shape = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "model")
+    )
+    with pytest.raises(ValueError, match="grid"):
+        load_checkpoint(path, mesh=bad_shape)
 
 
 def test_versioned_fixture_loads(rng):
