@@ -42,6 +42,14 @@ CHOLESKY_PRECISION: str | None = None
 # CPU/GPU ignore this (their f32 products are already exact).
 DW_DOT_ALGORITHM: str = "x6"
 
+# Diagonal-panel factorizer inside the blocked Cholesky: None/"builtin" =
+# XLA's cholesky + GEMM-composed inverse (blocked_tri_inverse); "fused" =
+# the sub-blocked recursion that materializes each sub-inverse once for
+# both the panel solve and the inverse composition
+# (ops/blocked_cholesky.py fused_panel_chol_inverse) — an A/B knob for the
+# serial-panel critical path; benchmarks/exp_chol_panel.py measures it.
+PANEL_FACTORIZER: str | None = None
+
 # NLML accuracy mode (ops/compensated.py): double-word (two-float)
 # reductions for the log-det and whiten sums plus ONE iterative-refinement
 # step on the quadratic term — attacks the f32 solve/reduction error floor

@@ -102,6 +102,78 @@ def blocked_tri_inverse(
     return Wtop
 
 
+def fused_panel_chol_inverse(
+    Akk: jnp.ndarray, sub: int, precision=None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(L, L⁻¹) of a diagonal panel via a right-looking sub-blocked
+    recursion that materializes each sub-block inverse ONCE and reuses it
+    for both the sub-panel solve and the W row recursion — replacing the
+    builtin chol(b) + separate blocked_tri_inverse pair (which re-solves
+    every diagonal sub-block).  Candidate for the serial-panel critical
+    path (VERDICT r4 #6); benchmarks/exp_chol_panel.py measures it."""
+    n = Akk.shape[0]
+    if n <= sub or n % sub != 0:
+        L = jnp.linalg.cholesky(Akk)
+        return L, blocked_tri_inverse(L, sub, precision=precision)
+    S = n // sub
+    eye = jnp.eye(sub, dtype=Akk.dtype)
+    cols = [
+        jax.lax.slice(Akk, (0, k * sub), (n, (k + 1) * sub))
+        for k in range(S)
+    ]
+    lkk, winv, belows = [], [], []
+    for k in range(S):
+        k0 = k * sub
+        Lkk = jnp.linalg.cholesky(cols[k][k0 : k0 + sub])
+        Wk = solve_triangular(Lkk, eye, lower=True)
+        below = jnp.matmul(cols[k][k0 + sub :], Wk.T, precision=precision)
+        lkk.append(Lkk)
+        winv.append(Wk)
+        belows.append(below)
+        for j in range(k + 1, S):
+            j0 = j * sub
+            Lj = below[j0 - k0 - sub : j0 - k0]
+            Lrows = below[j0 - k0 - sub :]
+            upd = cols[j][j0:] - jnp.matmul(
+                Lrows, Lj.T, precision=precision
+            )
+            cols[j] = jnp.concatenate([cols[j][:j0], upd], axis=0)
+    L = jnp.tril(
+        jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [
+                        jnp.zeros((k * sub, sub), Akk.dtype),
+                        lkk[k],
+                        belows[k],
+                    ],
+                    axis=0,
+                )
+                for k in range(S)
+            ],
+            axis=1,
+        )
+    )
+    # W row recursion reusing winv: W[r, :r0] = -winv[r] (L[r, :r0] W[:r0])
+    Wtop = jnp.concatenate(
+        [winv[0], jnp.zeros((sub, n - sub), Akk.dtype)], axis=1
+    )
+    for r in range(1, S):
+        r0 = r * sub
+        Lr = jax.lax.slice(L, (r0, 0), (r0 + sub, r0))
+        left = -jnp.matmul(
+            winv[r],
+            jnp.matmul(Lr, Wtop[:, :r0], precision=precision),
+            precision=precision,
+        )
+        row = jnp.concatenate(
+            [left, winv[r], jnp.zeros((sub, n - r0 - sub), Akk.dtype)],
+            axis=1,
+        )
+        Wtop = jnp.concatenate([Wtop, row], axis=0)
+    return L, Wtop
+
+
 def _panel_chol_inverse(
     Akk: jnp.ndarray, sub: int, precision=None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -111,7 +183,13 @@ def _panel_chol_inverse(
     TriangularSolve-against-identity is 3.1 ms — so keep the builtin
     factorization and compose the inverse from batched sub-block inverses
     (blocked_tri_inverse), which is GEMM-rich.
+    ``config.PANEL_FACTORIZER = "fused"`` swaps in the sub-blocked
+    recursion (fused_panel_chol_inverse) for on-chip A/B.
     """
+    from .. import config
+
+    if getattr(config, "PANEL_FACTORIZER", None) == "fused":
+        return fused_panel_chol_inverse(Akk, sub, precision=precision)
     L = jnp.linalg.cholesky(Akk)
     return L, blocked_tri_inverse(L, sub, precision=precision)
 

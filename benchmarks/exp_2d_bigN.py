@@ -36,13 +36,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = flags + " --xla_force_host_platform_device_count=8"
+# XLA:CPU's in-process collectives carry a HARD 20 s warn / 40 s terminate
+# rendezvous watchdog (not overridable via XLA_FLAGS or compiler_options in
+# this jaxlib build — both were tried and the 40 s abort still fired).  The
+# 8 virtual devices share this host's 2 cores THROUGH ONE Eigen pool, which
+# runs one device's big fused thunk at a time — so devices reach a
+# collective serialized, up to 7 compute-chunks apart, and the watchdog
+# kills any run whose per-device inter-collective chunk exceeds ~6 s.
+# Single-threaded Eigen makes each device execute on its own calling
+# thread; the OS then time-slices all 8 device threads FAIRLY, so they
+# progress in lockstep and arrive at collectives together.
+flags += " --xla_cpu_multi_thread_eigen=false"
 os.environ["XLA_FLAGS"] = flags.strip()
-
-# 8 virtual devices time-share this host's 2 cores, so a device can sit at
-# a collective for minutes of wall time at big N; XLA:CPU's default 20 s /
-# 40 s rendezvous watchdogs abort the run (observed at N=16384).  The
-# debug options are not registered as XLA_FLAGS in this jaxlib build, but
-# per-compile ``compiler_options`` accepts them.
 WATCHDOG_OPTS = {
     "xla_cpu_collective_call_warn_stuck_seconds": "600",
     "xla_cpu_collective_call_terminate_timeout_seconds": "7200",

@@ -74,56 +74,12 @@ def recursive_chol(A, sub):
 
 
 def fused_chol_inverse(A, sub):
-    """Right-looking blocked chol of the panel that ALSO returns W = L⁻¹,
-    composed from the sub-block inverses the recursion materializes anyway
-    (each winv serves both the sub-panel solve and the W row recursion —
-    no separate blocked_tri_inverse pass, no batched re-solve)."""
-    n = A.shape[0]
-    S = n // sub
-    eye = jnp.eye(sub, dtype=A.dtype)
-    cols = [
-        jax.lax.slice(A, (0, k * sub), (n, (k + 1) * sub)) for k in range(S)
-    ]
-    lkk, winv, belows = [], [], []
-    for k in range(S):
-        k0 = k * sub
-        Lkk = jnp.linalg.cholesky(cols[k][k0 : k0 + sub])
-        Wk = solve_triangular(Lkk, eye, lower=True)
-        below = jnp.matmul(cols[k][k0 + sub :], Wk.T)
-        lkk.append(Lkk)
-        winv.append(Wk)
-        belows.append(below)
-        for j in range(k + 1, S):
-            j0 = j * sub
-            Lj = below[j0 - k0 - sub : j0 - k0]
-            Lrows = below[j0 - k0 - sub :]
-            upd = cols[j][j0:] - Lrows @ Lj.T
-            cols[j] = jnp.concatenate([cols[j][:j0], upd], axis=0)
-    L = jnp.tril(
-        jnp.concatenate(
-            [
-                jnp.concatenate(
-                    [jnp.zeros((k * sub, sub), A.dtype), lkk[k], belows[k]],
-                    axis=0,
-                )
-                for k in range(S)
-            ],
-            axis=1,
-        )
-    )
-    # W row recursion reusing winv: W[r, :r0] = -winv[r] (L[r, :r0] W[:r0])
-    Wtop = jnp.concatenate(
-        [winv[0], jnp.zeros((sub, n - sub), A.dtype)], axis=1
-    )
-    for r in range(1, S):
-        r0 = r * sub
-        Lr = jax.lax.slice(L, (r0, 0), (r0 + sub, r0))
-        left = -jnp.matmul(winv[r], jnp.matmul(Lr, Wtop[:, :r0]))
-        row = jnp.concatenate(
-            [left, winv[r], jnp.zeros((sub, n - r0 - sub), A.dtype)], axis=1
-        )
-        Wtop = jnp.concatenate([Wtop, row], axis=0)
-    return L, Wtop
+    """Library implementation (ops/blocked_cholesky.py): right-looking
+    blocked chol of the panel that ALSO composes W = L⁻¹ from the
+    sub-block inverses the recursion materializes anyway."""
+    from albatross_tpu.ops.blocked_cholesky import fused_panel_chol_inverse
+
+    return fused_panel_chol_inverse(A, sub)
 
 
 def main() -> None:
@@ -163,19 +119,19 @@ def main() -> None:
     if args.micro_only:
         return
 
-    # full-pipeline effect at the headline size
-    import os
-
-    os.environ.setdefault("ALBATROSS_BENCH_N", "28672")
-    import albatross_tpu as ab  # noqa: F401  (imported for parity with bench)
+    # full-pipeline A/B at the headline size via the config knob
+    from albatross_tpu import config
     from bench import _measure_nlml
 
-    per_eval = _measure_nlml(28672, 4)
     flops = 28672**3 / 3 + 9 * 28672**2
-    print(
-        f"pipeline: {1.0 / per_eval:.2f} evals/s, "
-        f"{flops / per_eval / 1e12:.1f} TF/s"
-    )
+    for mode in (None, "fused"):
+        config.PANEL_FACTORIZER = mode
+        per_eval = _measure_nlml(28672, 4)
+        print(
+            f"pipeline[{mode or 'builtin'}]: {1.0 / per_eval:.2f} evals/s, "
+            f"{flops / per_eval / 1e12:.1f} TF/s"
+        )
+    config.PANEL_FACTORIZER = None
 
 
 if __name__ == "__main__":

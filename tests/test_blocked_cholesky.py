@@ -117,3 +117,41 @@ def test_no_assemble_nlml_path(rng):
     np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
     with pytest.raises(ValueError, match="requires rhs"):
         blocked_cholesky_cols(K, assemble=False)
+
+
+def test_fused_panel_factorizer_matches_builtin(rng):
+    """config.PANEL_FACTORIZER="fused" swaps the panel chol+inverse for the
+    sub-blocked recursion; the factor and the NLML must match the builtin
+    path (f64 CPU: to reduction-order tolerance)."""
+    from albatross_tpu import config
+    from albatross_tpu.ops.blocked_cholesky import (
+        blocked_cholesky_cols,
+        fused_panel_chol_inverse,
+    )
+
+    n, b = 1024, 512
+    Araw = rng.standard_normal((n, n))
+    K = jnp.asarray(Araw @ Araw.T + n * np.eye(n))
+    y = jnp.asarray(rng.standard_normal(n))
+
+    # unit: fused panel (L, W) against the direct computation
+    Akk = np.asarray(K)[:b, :b]
+    L_ref = np.linalg.cholesky(Akk)
+    Lf, Wf = fused_panel_chol_inverse(jnp.asarray(Akk), 128)
+    np.testing.assert_allclose(np.asarray(Lf), L_ref, rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(Wf) @ L_ref, np.eye(b), atol=1e-9
+    )
+
+    # pipeline: full factorization + whiten equivalence via the config knob
+    L0, z0 = blocked_cholesky_cols(K, block_size=b, rhs=y)
+    prev = config.PANEL_FACTORIZER
+    try:
+        config.PANEL_FACTORIZER = "fused"
+        blocked_cholesky_cols.clear_cache()
+        L1, z1 = blocked_cholesky_cols(K, block_size=b, rhs=y)
+    finally:
+        config.PANEL_FACTORIZER = prev
+        blocked_cholesky_cols.clear_cache()
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L0), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-8)
