@@ -355,13 +355,20 @@ def blocked_cholesky_cols(
 
     G = n // b
     z = rhs
+    # Each list entry holds ONLY the ACTIVE rows k·b..n of column panel k
+    # (rows above the diagonal block are the never-read symmetric upper
+    # part): a trailing update then OVERWRITES the whole stored array —
+    # no dead-prefix carry, no per-update concatenate copy.  Measured on
+    # v5e at N=28672 this removes ~G²/2 · n·b of pure HBM copy traffic
+    # vs the full-column layout (the dw variant already stores panels
+    # this way).
     cols = [
-        jax.lax.slice(K, (0, k * b), (n, (k + 1) * b)) for k in range(G)
+        jax.lax.slice(K, (k * b, k * b), (n, (k + 1) * b)) for k in range(G)
     ]
     for k in range(G):
         k0 = k * b
-        col = cols[k]
-        Akk = col[k0 : k0 + b]
+        col = cols[k]  # (n - k0, b)
+        Akk = col[:b]
         sub = DEFAULT_PANEL_SUB if panel_sub == "auto" else panel_sub
         if sub is not None:
             # two-level blocking: GEMM composition of the panel inverse
@@ -371,11 +378,9 @@ def blocked_cholesky_cols(
             Lkk = jnp.linalg.cholesky(Akk)
             W = solve_triangular(Lkk, jnp.eye(b, dtype=K.dtype), lower=True)
         below = jnp.matmul(
-            col[k0 + b :], W.T, precision=panel_prec
+            col[b:], W.T, precision=panel_prec
         )  # (n - k0 - b, b)
-        cols[k] = jnp.concatenate(
-            [jnp.zeros((k0, b), dtype=K.dtype), Lkk, below], axis=0
-        )
+        cols[k] = jnp.concatenate([Lkk, below], axis=0)
         if z is not None:
             zk = W @ jax.lax.slice(z, (k0,), (k0 + b,))
             zt = jax.lax.slice(z, (k0 + b,), (n,)) - below @ zk
@@ -387,20 +392,29 @@ def blocked_cholesky_cols(
             if diag_prec is not None and trail_prec is None:
                 # rows of block j's future diagonal block: multi-pass GEMM
                 # so the Cholesky input stays PSD; bulk stays single-pass
-                upd_diag = cols[j][j0 : j0 + b] - jnp.matmul(
+                upd_diag = cols[j][:b] - jnp.matmul(
                     Lj, Lj.T, precision=diag_prec
                 )
-                upd_rest = cols[j][j0 + b :] - Lrows[b:] @ Lj.T
-                updated = jnp.concatenate([upd_diag, upd_rest], axis=0)
+                upd_rest = cols[j][b:] - Lrows[b:] @ Lj.T
+                cols[j] = jnp.concatenate([upd_diag, upd_rest], axis=0)
             else:
-                updated = cols[j][j0:] - jnp.matmul(
+                cols[j] = cols[j] - jnp.matmul(
                     Lrows, Lj.T, precision=trail_prec
                 )
-            cols[j] = jnp.concatenate([cols[j][:j0], updated], axis=0)
     if not assemble:
         diag = jnp.concatenate(
-            [jnp.diagonal(cols[k][k * b : (k + 1) * b]) for k in range(G)]
+            [jnp.diagonal(cols[k][:b]) for k in range(G)]
         )
         return diag, z
-    L = jnp.tril(jnp.concatenate(cols, axis=1))
+    L = jnp.tril(
+        jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [jnp.zeros((k * b, b), dtype=K.dtype), cols[k]], axis=0
+                )
+                for k in range(G)
+            ],
+            axis=1,
+        )
+    )
     return L if rhs is None else (L, z)
