@@ -6,15 +6,15 @@ import jax
 
 # Fused Pallas gram policy (all numbers measured on v5e, f32):
 # * D <= 8: the XLA broadcast-distance path is exact-f32 AND faster inside
-#   the full NLML pipeline (58.9 vs 56.8 TF/s at N=28672 even with the
-#   diagonal epilogue folded into the pallas kernel) -> XLA by default.
+#   the full NLML pipeline (measured again round 4: forcing pallas gives
+#   88.4 vs 99.9 TF/s at N=28672 D=1) -> XLA by default.
 # * D > 8: XLA must use the |x|^2-2xy matmul trick, which cancels
 #   catastrophically for large coordinates (2.0e-5 max error vs f64 at
-#   D=32/coords~100 even at precision=HIGHEST), while the pallas kernel's
-#   elementwise VMEM distances are exact-f32 (6.1e-10) -> pallas by
-#   default FOR ACCURACY.  Driver-reproducible speed numbers (bench.py
-#   gram_highd row, round 3): pallas 11.5 ms vs XLA 7.2 ms at N=8192/D=32
-#   — the exactness costs ~1.6x; set False to trade accuracy for speed.
+#   D=32/coords~100 even at precision=HIGHEST).  The pallas kernel
+#   (round-4 MXU rewrite: per-tile-pair centered contraction + near-field
+#   exact refinement) is BOTH near-exact AND faster: 5.5 ms vs XLA 7.8 ms
+#   at N=8192/D=32 (tile=256; bench.py gram_highd row) -> pallas by
+#   default for accuracy and speed.
 # True forces pallas everywhere, False forbids it, None = the auto policy.
 USE_PALLAS_GRAM: bool | None = None
 # minimum N*M before the fused Pallas gram engages (tiling overhead below)
@@ -41,6 +41,14 @@ CHOLESKY_PRECISION: str | None = None
 # strongest it accepts), anything else -> plain precision=HIGHEST.
 # CPU/GPU ignore this (their f32 products are already exact).
 DW_DOT_ALGORITHM: str = "x6"
+
+# Blocked-Cholesky loop order for the no-assemble NLML path: "right"
+# (default) = right-looking trailing updates; "left" = left-looking — one
+# large (n−j0, j0)×(j0, b) GEMM per panel, gram columns produced inline
+# and fused into the GEMM epilogue when the kernel pattern-matches
+# (ops/blocked_cholesky.py blocked_cholesky_left), so the N² covariance
+# never gets its own HBM write and each entry rounds to f32 ONCE.
+CHOLESKY_ALGORITHM: str = "right"
 
 # Diagonal-panel factorizer inside the blocked Cholesky: None/"builtin" =
 # XLA's cholesky + GEMM-composed inverse (blocked_tri_inverse); "fused" =

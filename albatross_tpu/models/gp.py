@@ -283,14 +283,75 @@ class GaussianProcess(ModelBase):
             self.covariance_function(measurements),
         )
 
+    def _training_cov_col_fn(self, measurements):
+        """Active-row column-panel builder for the left-looking NLML
+        (config.CHOLESKY_ALGORITHM="left"): the gram is produced per panel
+        and fused by XLA into the factorization's subtraction GEMM, so the
+        N×N covariance never gets its own HBM write.  Engages for the same
+        pattern the pallas fusion recognizes (radial + diag-only noise,
+        single array feature batch); returns None otherwise."""
+        from ..kernels.features import Measurement
+        from ..ops.pallas_gram import (
+            _xla_reference_gram,
+            match_fused_training_cov,
+        )
+
+        if not isinstance(measurements, Measurement):
+            return None
+        matched = match_fused_training_cov(
+            self.covariance_function, measurements.value,
+            for_measurements=True,
+        )
+        if matched is None:
+            return None
+        radial, ls, sigma, diag_scalar = matched
+        leaves = jax.tree_util.tree_leaves(measurements.value)
+        if len(leaves) != 1 or leaves[0].ndim > 2:
+            return None
+        x = leaves[0]
+        x2 = x[:, None] if x.ndim == 1 else x
+        if x2.shape[-1] > 8:
+            # high-D grams use the exact pallas kernel (the closed-form
+            # column builder would fall back to the cancelling matmul
+            # trick) — keep the materialized path there
+            return None
+        diag_add = diag_scalar + self.jitter
+        profile = radial._profile_name
+
+        def col_fn(j0, b):
+            col = _xla_reference_gram(
+                x2[j0:], x2[j0 : j0 + b], ls, sigma, profile
+            )
+            idx = jnp.arange(b)
+            return col.at[idx, idx].add(jnp.asarray(diag_add, col.dtype))
+
+        return col_fn
+
     def log_likelihood(self, dataset: RegressionDataset):
         measurements = as_measurement(dataset.features)
         zero_mean = self.mean_function.remove_from(
             measurements, dataset.targets.mean
         )
+        from .. import config
+
+        if (
+            config.CHOLESKY_ALGORITHM == "left"
+            and config.CHOLESKY_PRECISION != "double_word"
+            and not config.NLML_COMPENSATED
+            and not self.safe_factorization
+            and zero_mean.shape[0] > 2048
+        ):
+            col_fn = self._training_cov_col_fn(measurements)
+            if col_fn is not None:
+                log_det, white = CholeskyFactor.nlml_terms(
+                    None, zero_mean, col_fn=col_fn
+                )
+                return (
+                    -_nll_from_whitened(log_det, white)
+                    + self.prior_log_likelihood()
+                )
         cov, fused = self._training_covariance(measurements, None)
         jitter = 0.0 if fused else self.jitter
-        from .. import config
 
         if config.NLML_COMPENSATED and not self.safe_factorization:
             # accuracy mode: double-word reductions + one refinement step on

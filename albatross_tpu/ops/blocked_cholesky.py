@@ -277,6 +277,124 @@ _PRECISIONS = {
 }
 
 
+def blocked_cholesky_left(
+    col_fn,
+    n: int,
+    rhs: jnp.ndarray | None = None,
+    block_size: int | None = None,
+    panel_sub: int | str | None = "auto",
+    panel_precision: str | None = "auto",
+    diag_precision: str | None = None,
+    trailing_precision: str | None = None,
+    assemble: bool = True,
+    dtype=jnp.float32,
+):
+    """LEFT-looking blocked Cholesky: one large (n−j0, j0)×(j0, b) GEMM
+    per panel instead of G−k small right-looking trailing updates.
+
+    ``col_fn(j0, b)`` returns the ACTIVE rows j0..n of covariance column
+    panel [j0, j0+b) — including every diagonal term (noise, jitter,
+    target variance).  Because the panel's gram is consumed directly by
+    the subtraction ``col − L[j0:, :j0] @ L[j0:j0+b, :j0]ᵀ``, XLA fuses
+    the (elementwise) gram producer into the GEMM epilogue: the N×N
+    covariance never gets its own HBM write.  Two more wins over the
+    right-looking layout on TPU:
+
+    * each output entry is accumulated over its FULL k-extent inside one
+      GEMM (a single f32 rounding) instead of being stored to HBM and
+      re-read G times with a rounding per panel — both faster (no
+      trailing rewrite traffic) and more accurate (kills the per-panel
+      storage-rounding term of the round-3 accuracy study);
+    * the GEMM k-dimension grows to j0 (up to n−b), the best MXU shape.
+
+    Semantics match ``blocked_cholesky_cols`` (fused whitening via the
+    panel inverses, assemble=False diag+z path, precision escalation
+    knobs).  Not jitted itself — call it inside jit (the NLML path does).
+    """
+    b = block_size if block_size is not None else auto_block_size(n)
+    if n <= b or n % b != 0:
+        # small/non-divisible sizes: materialize and use the cols layout
+        K = _materialize_from_cols(col_fn, n, b)
+        out = blocked_cholesky(K, b, rhs=rhs, panel_sub=panel_sub)
+        if not assemble:
+            L, z = out
+            return jnp.diagonal(L), z
+        return out
+    if panel_precision == "auto":
+        panel_precision = "high" if n >= 32768 else None
+    panel_prec = _PRECISIONS[panel_precision]
+    diag_prec = _PRECISIONS[diag_precision]
+    trail_prec = _PRECISIONS[trailing_precision]
+    sub = DEFAULT_PANEL_SUB if panel_sub == "auto" else panel_sub
+
+    G = n // b
+    L = jnp.zeros((n, n), dtype=dtype)
+    z = None if rhs is None else jnp.asarray(rhs, dtype)
+    diag_parts = []
+    for j in range(G):
+        j0 = j * b
+        col = col_fn(j0, b)  # (n - j0, b)
+        if j > 0:
+            left_rows = jax.lax.slice(L, (j0, 0), (n, j0))  # (n - j0, j0)
+            top = jax.lax.slice(L, (j0, 0), (j0 + b, j0))  # (b, j0)
+            if diag_prec is not None and trail_prec is None:
+                upd_diag = col[:b] - jnp.matmul(
+                    top, top.T, precision=diag_prec
+                )
+                upd_rest = col[b:] - jnp.matmul(
+                    left_rows[b:], top.T, precision=trail_prec
+                )
+                col = jnp.concatenate([upd_diag, upd_rest], axis=0)
+            else:
+                col = col - jnp.matmul(
+                    left_rows, top.T, precision=trail_prec
+                )
+        Akk = col[:b]
+        if sub is not None:
+            Lkk, W = _panel_chol_inverse(Akk, sub, precision=panel_prec)
+        else:
+            Lkk = jnp.linalg.cholesky(Akk)
+            W = solve_triangular(Lkk, jnp.eye(b, dtype=dtype), lower=True)
+        below = jnp.matmul(col[b:], W.T, precision=panel_prec)
+        L = jax.lax.dynamic_update_slice(
+            L, jnp.concatenate([Lkk, below], axis=0), (j0, j0)
+        )
+        diag_parts.append(jnp.diagonal(Lkk))
+        if z is not None:
+            zj = jax.lax.slice(z, (j0,), (j0 + b,))
+            if j > 0:
+                zj = zj - jnp.matmul(
+                    jax.lax.slice(L, (j0, 0), (j0 + b, j0)),
+                    jax.lax.slice(z, (0,), (j0,)),
+                    precision=panel_prec,
+                )
+            zj = W @ zj
+            z = jax.lax.dynamic_update_slice(z, zj, (j0,))
+    if not assemble:
+        return jnp.concatenate(diag_parts), z
+    L = jnp.tril(L)
+    return L if rhs is None else (L, z)
+
+
+def _materialize_from_cols(col_fn, n: int, b: int) -> jnp.ndarray:
+    """Assemble the full symmetric matrix from active-row column panels
+    (fallback path for sizes the left-looking loop does not handle)."""
+    blocks = []
+    j0 = 0
+    while j0 < n:
+        bj = min(b, n - j0)
+        col = col_fn(j0, bj)  # rows j0..n
+        blocks.append(
+            jnp.concatenate(
+                [jnp.zeros((j0, bj), col.dtype), col], axis=0
+            )
+        )
+        j0 += bj
+    lower = jnp.concatenate(blocks, axis=1)
+    strict_upper = jnp.triu(lower.T, 1)
+    return jnp.tril(lower) + strict_upper
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -139,6 +139,7 @@ class CholeskyFactor:
         rhs: jnp.ndarray,
         jitter: float = 0.0,
         assume_symmetric: bool = False,
+        col_fn=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(log|K|, L⁻¹ rhs) WITHOUT materializing the factor at scale.
 
@@ -147,12 +148,52 @@ class CholeskyFactor:
         skips the final (n, n) assembly + tril — an O(N²) HBM round trip
         saved on the hyperparameter-optimization hot loop.  Semantically
         identical to ``factorize_whiten`` + ``log_determinant``.
+
+        ``col_fn(j0, b)`` (optional): active-row column-panel builder for
+        the left-looking algorithm (config.CHOLESKY_ALGORITHM="left") —
+        lets the gram fuse into the factorization GEMMs so the N² matrix
+        never gets its own HBM write.  Must already include every
+        diagonal term; ``K``/``jitter`` are ignored when it engages.
         """
         rhs = jnp.asarray(rhs)
         if rhs.ndim != 1:
             raise ValueError(
                 f"nlml_terms expects a 1-D rhs, got shape {rhs.shape}"
             )
+        from .. import config as _config
+
+        n = rhs.shape[0]
+        use_left = col_fn is not None or (
+            _config.CHOLESKY_ALGORITHM == "left"
+            and n > 2048
+            and _config.CHOLESKY_PRECISION != "double_word"
+        )
+        if use_left:
+            from .blocked_cholesky import blocked_cholesky_left
+
+            if col_fn is None:
+                K = jnp.asarray(K)
+                if not assume_symmetric:
+                    K = _sym(K)
+                if jitter:
+                    K = K + jitter * jnp.eye(n, dtype=K.dtype)
+                dtype = K.dtype
+
+                def col_fn(j0, b, _K=K):
+                    return jax.lax.slice(_K, (j0, j0), (n, j0 + b))
+
+            else:
+                dtype = rhs.dtype
+            kw = {}
+            if _config.CHOLESKY_PRECISION is not None:
+                kw = dict(
+                    panel_precision=_config.CHOLESKY_PRECISION,
+                    trailing_precision=_config.CHOLESKY_PRECISION,
+                )
+            diag, white = blocked_cholesky_left(
+                col_fn, n, rhs=rhs, assemble=False, dtype=dtype, **kw
+            )
+            return _sum_of_logs(diag), white
         K = jnp.asarray(K)
         if not assume_symmetric:
             K = _sym(K)

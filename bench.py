@@ -174,12 +174,16 @@ def _extra_benchmarks():
     def predict_chain(fit, xs):
         def body(prev, _):
             p = fit.predict(xs + 1e-30 * prev).marginal()
-            return p.mean[0], (p.mean[0], p.variance[0])
+            # the carry must consume EVERY output element: a [0]-only
+            # carry lets XLA slice the batch GEMMs down to one column
+            # (measured: a bogus 690 TF/s serving rate)
+            carry = p.mean[0] + 1e-30 * (
+                jnp.sum(p.mean) + jnp.sum(p.variance)
+            )
+            return carry, carry
 
-        last, (means, _) = jax.lax.scan(
-            body, jnp.float32(0.0), None, length=R
-        )
-        return last + jnp.sum(means)
+        last, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=R)
+        return last
 
     float(predict_chain(fit, xs))  # compile + sync
 
@@ -341,11 +345,18 @@ def _extra_benchmarks():
         na = int(
             os.environ.get("ALBATROSS_BENCH_ACC_N", "2048" if small else "8192")
         )
+        # dedicated seed-0 draw = benchmarks/exp_compensated_tpu.py's exact
+        # protocol, NOT the shared bench rng: the plain-f32 error at this
+        # conditioning is dominated by data-draw-dependent factorization
+        # luck (observed 9.7e-8..1.1e-6 across draws), so a fixed draw is
+        # the only way the plain-vs-comp separation is comparable across
+        # rounds and against the ladder
+        rng_acc = np.random.default_rng(0)
         xa = jnp.asarray(
-            np.sort(rng.uniform(0.0, 100.0, na)), dtype=jnp.float32
+            np.sort(rng_acc.uniform(0.0, 100.0, na)), dtype=jnp.float32
         )
         ya = jnp.sin(0.3 * xa) + 0.1 * jnp.asarray(
-            rng.standard_normal(na), dtype=jnp.float32
+            rng_acc.standard_normal(na), dtype=jnp.float32
         )
         akern = ab.SquaredExponential(5.0, 1.0) + ab.measurement_only(
             ab.IndependentNoise(0.1, assume_unique=True)
