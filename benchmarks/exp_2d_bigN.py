@@ -68,10 +68,19 @@ def rss_gb() -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=16384)
+    ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--panel", type=int, default=1024)
+    # f32 mode: XLA:CPU's in-process collectives carry a HARD 40 s
+    # rendezvous watchdog, and at N=16384 the per-device f64 gram chunk on
+    # this 2-core host exceeds it (three runs crashed at the first
+    # all-gather; see /tmp logs referenced in the commit).  f64-tight
+    # equivalence is therefore executed at N=8192, and the N>=16384 scale
+    # point executes in f32 with correspondingly loosened tolerances.
+    ap.add_argument("--f32", action="store_true")
     args = ap.parse_args()
     n = args.n
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    tol_nlml, tol_grad = (1e-4, 3e-3) if args.f32 else (1e-9, 1e-8)
 
     import albatross_tpu as ab
     from albatross_tpu.core.parameters import set_tunable_params
@@ -81,10 +90,8 @@ def main() -> None:
     mesh = Mesh(devices, ("data", "model"))
 
     rng = np.random.default_rng(7)
-    x = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, n)), jnp.float64)
-    y = jnp.sin(0.3 * x) + 0.1 * jnp.asarray(
-        rng.standard_normal(n), jnp.float64
-    )
+    x = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, n)), dtype)
+    y = jnp.sin(0.3 * x) + 0.1 * jnp.asarray(rng.standard_normal(n), dtype)
     data = ab.RegressionDataset.create(x, y)
     kernel = ab.SquaredExponential(5.0, 1.0) + ab.measurement_only(
         ab.IndependentNoise(0.1, assume_unique=True)
@@ -114,7 +121,7 @@ def main() -> None:
         )
         return compiled, theta0
 
-    report: dict = {"n": n, "dtype": "float64", "mesh": "4x2", "rows": []}
+    report: dict = {"n": n, "dtype": str(jnp.dtype(dtype)), "mesh": "4x2", "rows": []}
 
     def run(name, model):
         vg, theta0 = make_vg(model)
@@ -146,10 +153,10 @@ def main() -> None:
     grel_2d = float(
         np.max(np.abs(g_2d - g_ref) / np.maximum(np.abs(g_ref), 1e-30))
     )
-    assert rel_1d < 1e-9, f"1-D NLML rel {rel_1d:.3e} exceeds 1e-9"
-    assert rel_2d < 1e-9, f"2-D NLML rel {rel_2d:.3e} exceeds 1e-9"
-    assert grel_1d < 1e-8, f"1-D grad rel {grel_1d:.3e} exceeds 1e-8"
-    assert grel_2d < 1e-8, f"2-D grad rel {grel_2d:.3e} exceeds 1e-8"
+    assert rel_1d < tol_nlml, f"1-D NLML rel {rel_1d:.3e} exceeds {tol_nlml}"
+    assert rel_2d < tol_nlml, f"2-D NLML rel {rel_2d:.3e} exceeds {tol_nlml}"
+    assert grel_1d < tol_grad, f"1-D grad rel {grel_1d:.3e} exceeds {tol_grad}"
+    assert grel_2d < tol_grad, f"2-D grad rel {grel_2d:.3e} exceeds {tol_grad}"
 
     # compiled per-device memory of the executed 2-D NLML (forward), for
     # reconciliation with exp_100k_memory's analysis and with the executed
@@ -163,7 +170,7 @@ def main() -> None:
         "per_device_compiled_gb": round(per_dev / 1e9, 3),
         "temp_gb": round(ma.temp_size_in_bytes / 1e9, 3),
         "args_gb": round(ma.argument_size_in_bytes / 1e9, 3),
-        "dense_nxn_gb": round(n * n * 8 / 1e9, 3),
+        "dense_nxn_gb": round(n * n * jnp.dtype(dtype).itemsize / 1e9, 3),
         "executed_peak_rss_gb": round(rss_gb(), 2),
     }
     report["rel_err"] = {
@@ -171,9 +178,12 @@ def main() -> None:
         "nlml_2d": rel_2d,
         "grad_1d": grel_1d,
         "grad_2d": grel_2d,
-        "rtol_asserted": {"nlml": 1e-9, "grad": 1e-8},
+        "rtol_asserted": {"nlml": tol_nlml, "grad": tol_grad},
     }
-    out = os.path.join(os.path.dirname(__file__), "BIGN_2D.json")
+    out = os.path.join(
+        os.path.dirname(__file__),
+        "BIGN_2D_F32.json" if args.f32 else "BIGN_2D.json",
+    )
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report["rel_err"]))
