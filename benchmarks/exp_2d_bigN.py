@@ -71,11 +71,14 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--panel", type=int, default=1024)
     # f32 mode: XLA:CPU's in-process collectives carry a HARD 40 s
-    # rendezvous watchdog, and at N=16384 the per-device f64 gram chunk on
-    # this 2-core host exceeds it (three runs crashed at the first
-    # all-gather; see /tmp logs referenced in the commit).  f64-tight
-    # equivalence is therefore executed at N=8192, and the N>=16384 scale
-    # point executes in f32 with correspondingly loosened tolerances.
+    # rendezvous watchdog; on this 2-core host the per-device
+    # inter-collective chunk exceeds it above N≈4096 f64 / N≈8192 f32
+    # (measured: N=8192/16384 f64 and N=16384 f32 all crash at the first
+    # all-gather, idle host, single-threaded Eigen — the shared 2-thread
+    # intra-op pool serializes whole device thunks, so device arrivals
+    # skew by full chunks).  The artifact pair is therefore the largest
+    # f64-tight size that executes plus the largest f32 size that
+    # executes, with the crash logs as environment-cap evidence.
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args()
     n = args.n
