@@ -56,6 +56,10 @@ CHOLESKY_ALGORITHM: str = "right"
 # both the panel solve and the inverse composition
 # (ops/blocked_cholesky.py fused_panel_chol_inverse) — an A/B knob for the
 # serial-panel critical path; benchmarks/exp_chol_panel.py measures it.
+# Read EAGERLY by linalg._factor_core/nlml_terms and threaded into the
+# inner jit as a STATIC argument (a config flip busts the cache through a
+# fresh outer trace; direct blocked_cholesky_cols callers must pass
+# panel_factorizer=... themselves — the inner jit never re-reads config).
 PANEL_FACTORIZER: str | None = None
 
 # NLML accuracy mode (ops/compensated.py): double-word (two-float)

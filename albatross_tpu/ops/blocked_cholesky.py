@@ -84,6 +84,16 @@ def blocked_tri_inverse(
     )
     eye = jnp.eye(sub, dtype=L.dtype)
     winv = jax.vmap(lambda Li: solve_triangular(Li, eye, lower=True))(diag)
+    return _compose_inverse_rows(L, list(winv), sub, precision)
+
+
+def _compose_inverse_rows(L, winv, sub: int, precision=None):
+    """W = L⁻¹ from per-sub-block inverses ``winv``: row-block recursion
+    W[r, :r0] = −winv[r] (L[r, :r0] W[:r0]).  Shared by
+    ``blocked_tri_inverse`` (batched-solve winv) and
+    ``fused_panel_chol_inverse`` (winv from the panel recursion)."""
+    m = L.shape[0]
+    S = m // sub
     Wtop = jnp.concatenate(
         [winv[0], jnp.zeros((sub, m - sub), L.dtype)], axis=1
     )  # (r*sub, m) rows built so far
@@ -117,27 +127,28 @@ def fused_panel_chol_inverse(
         return L, blocked_tri_inverse(L, sub, precision=precision)
     S = n // sub
     eye = jnp.eye(sub, dtype=Akk.dtype)
+    # active-rows layout (same as blocked_cholesky_cols): cols[k] holds
+    # rows k·sub..n only, so trailing updates overwrite the whole array
     cols = [
-        jax.lax.slice(Akk, (0, k * sub), (n, (k + 1) * sub))
+        jax.lax.slice(Akk, (k * sub, k * sub), (n, (k + 1) * sub))
         for k in range(S)
     ]
     lkk, winv, belows = [], [], []
     for k in range(S):
-        k0 = k * sub
-        Lkk = jnp.linalg.cholesky(cols[k][k0 : k0 + sub])
+        Lkk = jnp.linalg.cholesky(cols[k][:sub])
         Wk = solve_triangular(Lkk, eye, lower=True)
-        below = jnp.matmul(cols[k][k0 + sub :], Wk.T, precision=precision)
+        below = jnp.matmul(cols[k][sub:], Wk.T, precision=precision)
         lkk.append(Lkk)
         winv.append(Wk)
         belows.append(below)
+        k0 = k * sub
         for j in range(k + 1, S):
             j0 = j * sub
             Lj = below[j0 - k0 - sub : j0 - k0]
             Lrows = below[j0 - k0 - sub :]
-            upd = cols[j][j0:] - jnp.matmul(
+            cols[j] = cols[j] - jnp.matmul(
                 Lrows, Lj.T, precision=precision
             )
-            cols[j] = jnp.concatenate([cols[j][:j0], upd], axis=0)
     L = jnp.tril(
         jnp.concatenate(
             [
@@ -154,28 +165,12 @@ def fused_panel_chol_inverse(
             axis=1,
         )
     )
-    # W row recursion reusing winv: W[r, :r0] = -winv[r] (L[r, :r0] W[:r0])
-    Wtop = jnp.concatenate(
-        [winv[0], jnp.zeros((sub, n - sub), Akk.dtype)], axis=1
-    )
-    for r in range(1, S):
-        r0 = r * sub
-        Lr = jax.lax.slice(L, (r0, 0), (r0 + sub, r0))
-        left = -jnp.matmul(
-            winv[r],
-            jnp.matmul(Lr, Wtop[:, :r0], precision=precision),
-            precision=precision,
-        )
-        row = jnp.concatenate(
-            [left, winv[r], jnp.zeros((sub, n - r0 - sub), Akk.dtype)],
-            axis=1,
-        )
-        Wtop = jnp.concatenate([Wtop, row], axis=0)
-    return L, Wtop
+    # W = L⁻¹ reusing the sub-inverses the recursion already built
+    return L, _compose_inverse_rows(L, winv, sub, precision)
 
 
 def _panel_chol_inverse(
-    Akk: jnp.ndarray, sub: int, precision=None
+    Akk: jnp.ndarray, sub: int, precision=None, factorizer: str | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(L, L⁻¹) of a diagonal panel.
 
@@ -183,12 +178,13 @@ def _panel_chol_inverse(
     TriangularSolve-against-identity is 3.1 ms — so keep the builtin
     factorization and compose the inverse from batched sub-block inverses
     (blocked_tri_inverse), which is GEMM-rich.
-    ``config.PANEL_FACTORIZER = "fused"`` swaps in the sub-blocked
-    recursion (fused_panel_chol_inverse) for on-chip A/B.
+    ``factorizer="fused"`` swaps in the sub-blocked recursion
+    (fused_panel_chol_inverse).  NOTE: the choice must be threaded as a
+    STATIC jit argument by callers (config.PANEL_FACTORIZER is read at
+    trace time; a config flip alone cannot bust an already-cached trace —
+    round-4 review finding).
     """
-    from .. import config
-
-    if getattr(config, "PANEL_FACTORIZER", None) == "fused":
+    if factorizer == "fused":
         return fused_panel_chol_inverse(Akk, sub, precision=precision)
     L = jnp.linalg.cholesky(Akk)
     return L, blocked_tri_inverse(L, sub, precision=precision)
@@ -288,6 +284,7 @@ def blocked_cholesky_left(
     trailing_precision: str | None = None,
     assemble: bool = True,
     dtype=jnp.float32,
+    panel_factorizer: str | None = None,
 ):
     """LEFT-looking blocked Cholesky: one large (n−j0, j0)×(j0, b) GEMM
     per panel instead of G−k small right-looking trailing updates.
@@ -311,15 +308,26 @@ def blocked_cholesky_left(
     panel inverses, assemble=False diag+z path, precision escalation
     knobs).  Not jitted itself — call it inside jit (the NLML path does).
     """
+    if not assemble and rhs is None:
+        raise ValueError("assemble=False requires rhs (the NLML fused path)")
     b = block_size if block_size is not None else auto_block_size(n)
     if n <= b or n % b != 0:
         # small/non-divisible sizes: materialize and use the cols layout
+        # (which honors every precision knob — the earlier plain
+        # blocked_cholesky fallback silently dropped them)
         K = _materialize_from_cols(col_fn, n, b)
-        out = blocked_cholesky(K, b, rhs=rhs, panel_sub=panel_sub)
-        if not assemble:
-            L, z = out
-            return jnp.diagonal(L), z
-        return out
+        return blocked_cholesky_cols(
+            K,
+            rhs=rhs,
+            panel_sub=panel_sub,
+            diag_precision=None
+            if diag_precision == "auto"
+            else diag_precision,
+            panel_precision=panel_precision,
+            trailing_precision=trailing_precision,
+            assemble=assemble,
+            panel_factorizer=panel_factorizer,
+        )
     if panel_precision == "auto":
         panel_precision = "high" if n >= 32768 else None
     panel_prec = _PRECISIONS[panel_precision]
@@ -351,7 +359,9 @@ def blocked_cholesky_left(
                 )
         Akk = col[:b]
         if sub is not None:
-            Lkk, W = _panel_chol_inverse(Akk, sub, precision=panel_prec)
+            Lkk, W = _panel_chol_inverse(
+                Akk, sub, precision=panel_prec, factorizer=panel_factorizer
+            )
         else:
             Lkk = jnp.linalg.cholesky(Akk)
             W = solve_triangular(Lkk, jnp.eye(b, dtype=dtype), lower=True)
@@ -404,6 +414,7 @@ def _materialize_from_cols(col_fn, n: int, b: int) -> jnp.ndarray:
         "panel_precision",
         "trailing_precision",
         "assemble",
+        "panel_factorizer",
     ),
 )
 def blocked_cholesky_cols(
@@ -415,6 +426,7 @@ def blocked_cholesky_cols(
     panel_precision: str | None = "auto",
     trailing_precision: str | None = None,
     assemble: bool = True,
+    panel_factorizer: str | None = None,
 ) -> jnp.ndarray:
     """Column-panel-layout variant of ``blocked_cholesky``.
 
@@ -491,7 +503,9 @@ def blocked_cholesky_cols(
         if sub is not None:
             # two-level blocking: GEMM composition of the panel inverse
             # (52.2 vs 58.5 ms at N=20480/b=2560 on v5e with sub=512)
-            Lkk, W = _panel_chol_inverse(Akk, sub, precision=panel_prec)
+            Lkk, W = _panel_chol_inverse(
+                Akk, sub, precision=panel_prec, factorizer=panel_factorizer
+            )
         else:
             Lkk = jnp.linalg.cholesky(Akk)
             W = solve_triangular(Lkk, jnp.eye(b, dtype=K.dtype), lower=True)

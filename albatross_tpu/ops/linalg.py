@@ -84,6 +84,7 @@ class CholeskyFactor:
                 from .compensated import blocked_cholesky_dw
 
                 return blocked_cholesky_dw(K, rhs=rhs)
+            pf = config.PANEL_FACTORIZER
             if config.CHOLESKY_PRECISION is not None:
                 # accuracy mode: multi-pass on every factorization GEMM
                 return blocked_cholesky_cols(
@@ -91,8 +92,9 @@ class CholeskyFactor:
                     rhs=rhs,
                     panel_precision=config.CHOLESKY_PRECISION,
                     trailing_precision=config.CHOLESKY_PRECISION,
+                    panel_factorizer=pf,
                 )
-            return blocked_cholesky_cols(K, rhs=rhs)
+            return blocked_cholesky_cols(K, rhs=rhs, panel_factorizer=pf)
         L = jnp.linalg.cholesky(K)
         if rhs is None:
             return L
@@ -163,6 +165,12 @@ class CholeskyFactor:
         from .. import config as _config
 
         n = rhs.shape[0]
+        if col_fn is not None and _config.CHOLESKY_PRECISION == "double_word":
+            raise ValueError(
+                "nlml_terms(col_fn=...) is incompatible with "
+                "CHOLESKY_PRECISION='double_word' (the double-word carry "
+                "needs the materialized matrix); pass K instead"
+            )
         use_left = col_fn is not None or (
             _config.CHOLESKY_ALGORITHM == "left"
             and n > 2048
@@ -191,7 +199,13 @@ class CholeskyFactor:
                     trailing_precision=_config.CHOLESKY_PRECISION,
                 )
             diag, white = blocked_cholesky_left(
-                col_fn, n, rhs=rhs, assemble=False, dtype=dtype, **kw
+                col_fn,
+                n,
+                rhs=rhs,
+                assemble=False,
+                dtype=dtype,
+                panel_factorizer=_config.PANEL_FACTORIZER,
+                **kw,
             )
             return _sum_of_logs(diag), white
         K = jnp.asarray(K)
@@ -220,7 +234,11 @@ class CholeskyFactor:
                     trailing_precision=config.CHOLESKY_PRECISION,
                 )
             diag, white = blocked_cholesky_cols(
-                K, rhs=rhs.astype(K.dtype), assemble=False, **kw
+                K,
+                rhs=rhs.astype(K.dtype),
+                assemble=False,
+                panel_factorizer=config.PANEL_FACTORIZER,
+                **kw,
             )
             return _sum_of_logs(diag), white
         L = jnp.linalg.cholesky(K)

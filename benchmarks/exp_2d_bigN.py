@@ -4,10 +4,14 @@ VERDICT r3 missing #2 / next-round #4: `exp_100k_memory.py` only *compiles*
 the 2-D tile-sharded pipeline at N=98304; nothing executed it beyond the
 n=2048 dryrun equivalence (at loose f32 tolerances).  This script EXECUTES
 the full pipeline — sharded gram → 2-D tile-sharded Cholesky → solves →
-NLML → exact gradient — at N>=16384 in f64 on the 8-virtual-device CPU mesh
-and asserts the 2-D and 1-D values match the single-chip path at f64-tight
-tolerances (<=1e-9 NLML rel, <=1e-8 gradient rel), where a reduction-order
-or off-by-one-panel bug cannot hide.
+NLML → exact gradient — in f64 on the 8-virtual-device CPU mesh and asserts
+the 2-D and 1-D values match the single-chip path at f64-tight tolerances
+(<=1e-9 NLML rel, <=1e-8 gradient rel), where a reduction-order or
+off-by-one-panel bug cannot hide.  The executed size is capped by the
+host environment, not the code: XLA:CPU's hard 40 s collective-rendezvous
+watchdog kills runs whose per-device inter-collective chunk exceeds it on
+this 2-core box (measured envelope: N=6144 f64 passes, N=8192 both dtypes
+crash at the first all-gather — see the --f32 flag comment).
 
 It also reconciles the compiled per-device memory analysis with the
 *executed* host peak RSS (all 8 virtual devices share the host, so
@@ -37,21 +41,18 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = flags + " --xla_force_host_platform_device_count=8"
 # XLA:CPU's in-process collectives carry a HARD 20 s warn / 40 s terminate
-# rendezvous watchdog (not overridable via XLA_FLAGS or compiler_options in
-# this jaxlib build — both were tried and the 40 s abort still fired).  The
-# 8 virtual devices share this host's 2 cores THROUGH ONE Eigen pool, which
-# runs one device's big fused thunk at a time — so devices reach a
-# collective serialized, up to 7 compute-chunks apart, and the watchdog
-# kills any run whose per-device inter-collective chunk exceeds ~6 s.
-# Single-threaded Eigen makes each device execute on its own calling
-# thread; the OS then time-slices all 8 device threads FAIRLY, so they
-# progress in lockstep and arrive at collectives together.
+# rendezvous watchdog.  It is NOT overridable in this jaxlib build: the
+# xla_cpu_collective_call_*_seconds DebugOptions are rejected by XLA_FLAGS
+# and silently ignored by per-compile compiler_options (both tried; the
+# 40 s abort still fired).  The 8 virtual devices share this host's 2
+# cores through one Eigen pool, which runs one device's big fused thunk at
+# a time — devices reach a collective serialized, up to 7 compute-chunks
+# apart.  Single-threaded Eigen (the only effective mitigation) makes each
+# device execute on its own calling thread so the OS time-slices all 8
+# fairly and they arrive at collectives together; it bounds the executed
+# size, not the timeout.
 flags += " --xla_cpu_multi_thread_eigen=false"
 os.environ["XLA_FLAGS"] = flags.strip()
-WATCHDOG_OPTS = {
-    "xla_cpu_collective_call_warn_stuck_seconds": "600",
-    "xla_cpu_collective_call_terminate_timeout_seconds": "7200",
-}
 
 import jax
 
@@ -117,11 +118,7 @@ def main() -> None:
             m = model.set_params(set_tunable_params(params0, theta))
             return -m.log_likelihood(data)
 
-        compiled = (
-            jax.jit(jax.value_and_grad(vg))
-            .lower(theta0)
-            .compile(compiler_options=WATCHDOG_OPTS)
-        )
+        compiled = jax.jit(jax.value_and_grad(vg)).lower(theta0).compile()
         return compiled, theta0
 
     report: dict = {"n": n, "dtype": str(jnp.dtype(dtype)), "mesh": "4x2", "rows": []}

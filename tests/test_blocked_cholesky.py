@@ -121,14 +121,19 @@ def test_no_assemble_nlml_path(rng):
 
 
 def test_fused_panel_factorizer_matches_builtin(rng):
-    """config.PANEL_FACTORIZER="fused" swaps the panel chol+inverse for the
+    """panel_factorizer="fused" swaps the panel chol+inverse for the
     sub-blocked recursion; the factor and the NLML must match the builtin
-    path (f64 CPU: to reduction-order tolerance)."""
+    path (f64 CPU: to reduction-order tolerance).  The choice is a STATIC
+    jit argument (round-4 review: a config flip alone cannot bust an
+    already-cached inner trace), so the test exercises both the explicit
+    argument and the config-routed path through nlml_terms (which reads
+    the config eagerly per outer trace)."""
     from albatross_tpu import config
     from albatross_tpu.ops.blocked_cholesky import (
         blocked_cholesky_cols,
         fused_panel_chol_inverse,
     )
+    from albatross_tpu.ops.linalg import CholeskyFactor
 
     n, b = 1024, 512
     Araw = rng.standard_normal((n, n))
@@ -144,18 +149,30 @@ def test_fused_panel_factorizer_matches_builtin(rng):
         np.asarray(Wf) @ L_ref, np.eye(b), atol=1e-9
     )
 
-    # pipeline: full factorization + whiten equivalence via the config knob
+    # pipeline: full factorization + whiten equivalence via the explicit
+    # static argument
     L0, z0 = blocked_cholesky_cols(K, block_size=b, rhs=y)
+    L1, z1 = blocked_cholesky_cols(
+        K, block_size=b, rhs=y, panel_factorizer="fused"
+    )
+    np.testing.assert_allclose(np.asarray(L1), np.asarray(L0), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-8)
+
+    # config routing: nlml_terms reads PANEL_FACTORIZER eagerly, so a
+    # config flip takes effect without any cache clearing
+    n2 = 3072  # > the 2048 blocked-path threshold
+    A2 = rng.standard_normal((n2, n2))
+    K2 = jnp.asarray(A2 @ A2.T + n2 * np.eye(n2))
+    y2 = jnp.asarray(rng.standard_normal(n2))
+    ld0, w0 = CholeskyFactor.nlml_terms(K2, y2, assume_symmetric=True)
     prev = config.PANEL_FACTORIZER
     try:
         config.PANEL_FACTORIZER = "fused"
-        blocked_cholesky_cols.clear_cache()
-        L1, z1 = blocked_cholesky_cols(K, block_size=b, rhs=y)
+        ld1, w1 = CholeskyFactor.nlml_terms(K2, y2, assume_symmetric=True)
     finally:
         config.PANEL_FACTORIZER = prev
-        blocked_cholesky_cols.clear_cache()
-    np.testing.assert_allclose(np.asarray(L1), np.asarray(L0), atol=1e-8)
-    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=1e-8)
+    assert float(ld1) == pytest.approx(float(ld0), rel=1e-10)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-7)
 
 
 def test_left_looking_matches_right_looking(rng):
@@ -242,3 +259,40 @@ def test_left_looking_fused_gram_gp_equivalence(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b2), rtol=1e-8, atol=1e-10
         )
+
+
+def test_left_looking_guards_and_fallback(rng):
+    """Round-4 review: assemble=False without rhs must raise the explicit
+    ValueError (not crash in unpacking), and the non-divisible-n fallback
+    must keep working through the cols layout with knobs honored."""
+    from albatross_tpu.ops.blocked_cholesky import blocked_cholesky_left
+
+    n = 1400  # not divisible by the default block
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    y = jnp.asarray(rng.standard_normal(n))
+
+    def col_fn(j0, b):
+        return jax.lax.slice(K, (j0, j0), (n, j0 + b))
+
+    with pytest.raises(ValueError, match="requires rhs"):
+        blocked_cholesky_left(col_fn, n, assemble=False, dtype=K.dtype)
+    diag, z = blocked_cholesky_left(
+        col_fn, n, rhs=y, assemble=False, dtype=K.dtype
+    )
+    L_ref = np.linalg.cholesky(np.asarray(K))
+    np.testing.assert_allclose(np.asarray(diag), np.diag(L_ref), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(z), np.linalg.solve(L_ref, np.asarray(y)), atol=1e-7
+    )
+    # double_word + col_fn is rejected with a clear message
+    from albatross_tpu import config
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    prev = config.CHOLESKY_PRECISION
+    try:
+        config.CHOLESKY_PRECISION = "double_word"
+        with pytest.raises(ValueError, match="double_word"):
+            CholeskyFactor.nlml_terms(None, y, col_fn=col_fn)
+    finally:
+        config.CHOLESKY_PRECISION = prev
