@@ -296,7 +296,7 @@ def _extra_benchmarks():
             prev = jnp.float32(0.0)
             g = step(Xg, prev)
             float(g[0, 0])  # compile + sync
-            reps = 4
+            reps = 16  # ~7 ms/call: amortize the ~2 ms tunnel sync noise
             t0 = time.perf_counter()
             for _ in range(reps):
                 g = step(Xg, g[0, 0])
