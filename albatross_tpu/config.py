@@ -47,8 +47,22 @@ DW_DOT_ALGORITHM: str = "x6"
 # large (n−j0, j0)×(j0, b) GEMM per panel, gram columns produced inline
 # and fused into the GEMM epilogue when the kernel pattern-matches
 # (ops/blocked_cholesky.py blocked_cholesky_left), so the N² covariance
-# never gets its own HBM write and each entry rounds to f32 ONCE.
+# never gets its own HBM write and each entry rounds to f32 ONCE;
+# "right_fused" = the right-looking loop with LAZY gram columns
+# (blocked_cholesky_cols_fused): column j's gram is built at its first
+# trailing update, fusing the VPU gram work into the MXU GEMM schedule and
+# skipping the covariance's standalone HBM write — the round-4 verdict's
+# "gram/panel overlap" lever on the loop order that wins on TPU.
 CHOLESKY_ALGORITHM: str = "right"
+
+# Store factored column panels at bf16 for the trailing-update re-reads
+# (right-looking cols layout only).  Numerically ~a wash on TPU — the
+# default f32 GEMM already rounds inputs to one bf16 pass on the MXU — but
+# the G−k trailing updates re-read each panel from HBM, and a 2-byte store
+# halves that traffic (the factorization's dominant HBM term).  Ignored
+# for f64 inputs and whenever CHOLESKY_PRECISION requests a multi-pass
+# accuracy mode (those need full-precision operands).
+CHOLESKY_TRAILING_BF16: bool = False
 
 # Diagonal-panel factorizer inside the blocked Cholesky: None/"builtin" =
 # XLA's cholesky + GEMM-composed inverse (blocked_tri_inverse); "fused" =

@@ -25,6 +25,7 @@ gradients the reference had to finite-difference.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Optional
 
@@ -119,6 +120,73 @@ def negative_log_likelihood(deviation, chol: CholeskyFactor):
     return _nll_from_whitened(
         chol.log_determinant(), chol.sqrt_solve(deviation)
     )
+
+
+def _make_gram_col_fn(x2, ls, sigma, diag_add, profile):
+    """col_fn(j0, b) -> active rows j0..n of training-covariance column
+    panel [j0, j0+b), diagonal (noise + jitter) included — the lazy gram
+    producer the fused factorizations consume."""
+    from ..ops.pallas_gram import _xla_reference_gram
+
+    def col_fn(j0, b):
+        col = _xla_reference_gram(
+            x2[j0:], x2[j0 : j0 + b], ls, sigma, profile
+        )
+        idx = jnp.arange(b)
+        return col.at[idx, idx].add(jnp.asarray(diag_add, col.dtype))
+
+    return col_fn
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "profile",
+        "algorithm",
+        "panel_precision",
+        "trailing_precision",
+        "panel_factorizer",
+    ),
+)
+def _fused_gram_nlml(
+    x2,
+    ls,
+    sigma,
+    diag_add,
+    rhs,
+    *,
+    profile: str,
+    algorithm: str,
+    panel_precision=None,
+    trailing_precision=None,
+    panel_factorizer=None,
+):
+    """(log|K|, L⁻¹ rhs) with the gram produced INSIDE the factorization
+    (no standalone N×N covariance write).  Module-level jit keyed on array
+    shapes + static knobs: eager callers get one dispatch (not the
+    unrolled panel loop), and repeated calls reuse the trace (a per-call
+    closure would retrace every time)."""
+    from ..ops.blocked_cholesky import (
+        blocked_cholesky_cols_fused,
+        blocked_cholesky_left,
+    )
+    from ..ops.compensated import accurate_sum_of_logs
+
+    n = rhs.shape[0]
+    col_fn = _make_gram_col_fn(x2, ls, sigma, diag_add, profile)
+    kw = dict(
+        rhs=rhs,
+        assemble=False,
+        dtype=rhs.dtype,
+        panel_precision=panel_precision if panel_precision else "auto",
+        trailing_precision=trailing_precision,
+        panel_factorizer=panel_factorizer,
+    )
+    if algorithm == "left":
+        diag, white = blocked_cholesky_left(col_fn, n, **kw)
+    else:
+        diag, white = blocked_cholesky_cols_fused(col_fn, n, **kw)
+    return 2.0 * accurate_sum_of_logs(diag), white
 
 
 class GaussianProcess(ModelBase):
@@ -283,18 +351,17 @@ class GaussianProcess(ModelBase):
             self.covariance_function(measurements),
         )
 
-    def _training_cov_col_fn(self, measurements):
-        """Active-row column-panel builder for the left-looking NLML
-        (config.CHOLESKY_ALGORITHM="left"): the gram is produced per panel
-        and fused by XLA into the factorization's subtraction GEMM, so the
-        N×N covariance never gets its own HBM write.  Engages for the same
-        pattern the pallas fusion recognizes (radial + diag-only noise,
-        single array feature batch); returns None otherwise."""
+    def _training_cov_fused_pieces(self, measurements):
+        """Pattern-match the training covariance for the fused-gram NLML
+        (config.CHOLESKY_ALGORITHM "left"/"right_fused"): returns
+        ``(x2, ls, sigma, diag_add, profile)`` when the kernel is radial +
+        diag-only noise over a single low-D array feature batch — the same
+        pattern the pallas fusion recognizes — else None.  The pieces are
+        plain arrays/floats so the jitted wrapper ``_fused_gram_nlml`` can
+        take them as arguments (a stable jit cache keyed on shapes, not on
+        a fresh closure per call)."""
         from ..kernels.features import Measurement
-        from ..ops.pallas_gram import (
-            _xla_reference_gram,
-            match_fused_training_cov,
-        )
+        from ..ops.pallas_gram import match_fused_training_cov
 
         if not isinstance(measurements, Measurement):
             return None
@@ -316,16 +383,17 @@ class GaussianProcess(ModelBase):
             # trick) — keep the materialized path there
             return None
         diag_add = diag_scalar + self.jitter
-        profile = radial._profile_name
+        return x2, ls, sigma, diag_add, radial._profile_name
 
-        def col_fn(j0, b):
-            col = _xla_reference_gram(
-                x2[j0:], x2[j0 : j0 + b], ls, sigma, profile
-            )
-            idx = jnp.arange(b)
-            return col.at[idx, idx].add(jnp.asarray(diag_add, col.dtype))
-
-        return col_fn
+    def _training_cov_col_fn(self, measurements):
+        """Active-row column-panel builder over the matched pieces (kept
+        for the nlml_terms(col_fn=...) API and tests); returns None when
+        the pattern does not match."""
+        pieces = self._training_cov_fused_pieces(measurements)
+        if pieces is None:
+            return None
+        x2, ls, sigma, diag_add, profile = pieces
+        return _make_gram_col_fn(x2, ls, sigma, diag_add, profile)
 
     def log_likelihood(self, dataset: RegressionDataset):
         measurements = as_measurement(dataset.features)
@@ -335,16 +403,29 @@ class GaussianProcess(ModelBase):
         from .. import config
 
         if (
-            config.CHOLESKY_ALGORITHM == "left"
+            config.CHOLESKY_ALGORITHM in ("left", "right_fused")
             and config.CHOLESKY_PRECISION != "double_word"
             and not config.NLML_COMPENSATED
             and not self.safe_factorization
             and zero_mean.shape[0] > 2048
         ):
-            col_fn = self._training_cov_col_fn(measurements)
-            if col_fn is not None:
-                log_det, white = CholeskyFactor.nlml_terms(
-                    None, zero_mean, col_fn=col_fn
+            pieces = self._training_cov_fused_pieces(measurements)
+            if pieces is not None:
+                x2, ls, sigma, diag_add, profile = pieces
+                trailing = config.CHOLESKY_PRECISION
+                if trailing is None and config.CHOLESKY_TRAILING_BF16:
+                    trailing = "bf16"
+                log_det, white = _fused_gram_nlml(
+                    x2,
+                    jnp.asarray(ls),
+                    jnp.asarray(sigma),
+                    jnp.asarray(diag_add),
+                    zero_mean,
+                    profile=profile,
+                    algorithm=config.CHOLESKY_ALGORITHM,
+                    panel_precision=config.CHOLESKY_PRECISION,
+                    trailing_precision=trailing,
+                    panel_factorizer=config.PANEL_FACTORIZER,
                 )
                 return (
                     -_nll_from_whitened(log_det, white)

@@ -312,9 +312,11 @@ def blocked_cholesky_left(
         raise ValueError("assemble=False requires rhs (the NLML fused path)")
     b = block_size if block_size is not None else auto_block_size(n)
     if n <= b or n % b != 0:
-        # small/non-divisible sizes: materialize and use the cols layout
-        # (which honors every precision knob — the earlier plain
-        # blocked_cholesky fallback silently dropped them)
+        # small/non-divisible sizes: materialize and use the cols layout,
+        # which honors the precision/factorizer knobs for every n > b
+        # (non-divisible n pads to the panel boundary); at n <= b the
+        # single panel is the XLA builtin and the knobs have no GEMMs to
+        # act on
         K = _materialize_from_cols(col_fn, n, b)
         return blocked_cholesky_cols(
             K,
@@ -332,7 +334,12 @@ def blocked_cholesky_left(
         panel_precision = "high" if n >= 32768 else None
     panel_prec = _PRECISIONS[panel_precision]
     diag_prec = _PRECISIONS[diag_precision]
-    trail_prec = _PRECISIONS[trailing_precision]
+    # "bf16" (trailing inputs stored at bf16) is a cols-layout knob: the
+    # left-looking loop reads each factored panel once, so there is no
+    # repeated trailing traffic to halve — treat it as default precision
+    trail_prec = (
+        None if trailing_precision == "bf16" else _PRECISIONS[trailing_precision]
+    )
     sub = DEFAULT_PANEL_SUB if panel_sub == "auto" else panel_sub
 
     G = n // b
@@ -459,12 +466,48 @@ def blocked_cholesky_cols(
     if not assemble and rhs is None:
         raise ValueError("assemble=False requires rhs (the NLML fused path)")
     b = block_size if block_size is not None else auto_block_size(n)
-    if n <= b or n % b != 0:
+    if n <= b:
+        # single panel: the XLA builtin factorizes it directly — the
+        # precision/factorizer knobs govern panel/trailing GEMMs, which do
+        # not exist at this size, so there is nothing to thread through
+        # (round-4 advisor finding: do not claim otherwise)
         out = blocked_cholesky(K, b, rhs=rhs, panel_sub=panel_sub)
         if not assemble:
             L, z = out
             return jnp.diagonal(L), z
         return out
+    if n % b != 0:
+        # pad to the next panel boundary with an identity block
+        # ([[K, 0], [0, I]] factors as [[L, 0], [0, I]]) and run the main
+        # loop so the precision/factorizer knobs stay honored for EVERY n
+        # — the old delegation to the rows layout silently dropped them
+        # (round-4 advisor finding)
+        m = -(-n // b) * b
+        Kp = jnp.zeros((m, m), K.dtype)
+        Kp = jax.lax.dynamic_update_slice(Kp, K, (0, 0))
+        idx = jnp.arange(n, m)
+        Kp = Kp.at[idx, idx].set(jnp.ones((), K.dtype))
+        rp = None if rhs is None else jnp.concatenate(
+            [rhs, jnp.zeros((m - n,), rhs.dtype)]
+        )
+        out = blocked_cholesky_cols(
+            Kp,
+            block_size=b,
+            rhs=rp,
+            panel_sub=panel_sub,
+            diag_precision=diag_precision,
+            panel_precision=panel_precision,
+            trailing_precision=trailing_precision,
+            assemble=assemble,
+            panel_factorizer=panel_factorizer,
+        )
+        if not assemble:
+            diag, z = out
+            return diag[:n], z[:n]
+        if rhs is None:
+            return out[:n, :n]
+        L, z = out
+        return L[:n, :n], z[:n]
 
     if diag_precision == "auto":
         # diag-block refinement is NOT cheap (G²/2 pairs × b³ multi-pass ≈
@@ -479,12 +522,11 @@ def blocked_cholesky_cols(
         # panel=high alone gives finite NLML at 45.8 TF/s (diag=highest on
         # top costs 11 TF/s more and changes NLML by <2e-6 relative)
         panel_precision = "high" if n >= 32768 else None
+    trailing_bf16 = trailing_precision == "bf16"
     diag_prec = _PRECISIONS[diag_precision]
     panel_prec = _PRECISIONS[panel_precision]
-    trail_prec = _PRECISIONS[trailing_precision]
+    trail_prec = None if trailing_bf16 else _PRECISIONS[trailing_precision]
 
-    G = n // b
-    z = rhs
     # Each list entry holds ONLY the ACTIVE rows k·b..n of column panel k
     # (rows above the diagonal block are the never-read symmetric upper
     # part): a trailing update then OVERWRITES the whole stored array —
@@ -492,9 +534,109 @@ def blocked_cholesky_cols(
     # v5e at N=28672 this removes ~G²/2 · n·b of pure HBM copy traffic
     # vs the full-column layout (the dw variant already stores panels
     # this way).
+    G = n // b
     cols = [
         jax.lax.slice(K, (k * b, k * b), (n, (k + 1) * b)) for k in range(G)
     ]
+    return _cols_core(
+        cols,
+        n,
+        b,
+        rhs,
+        panel_sub=panel_sub,
+        diag_prec=diag_prec,
+        panel_prec=panel_prec,
+        trail_prec=trail_prec,
+        trailing_bf16=trailing_bf16,
+        assemble=assemble,
+        panel_factorizer=panel_factorizer,
+    )
+
+
+def blocked_cholesky_cols_fused(
+    col_fn,
+    n: int,
+    rhs: jnp.ndarray | None = None,
+    block_size: int | None = None,
+    panel_sub: int | str | None = "auto",
+    diag_precision: str | None = "auto",
+    panel_precision: str | None = "auto",
+    trailing_precision: str | None = None,
+    assemble: bool = True,
+    panel_factorizer: str | None = None,
+    dtype=jnp.float32,
+):
+    """Right-looking cols layout with LAZY gram columns.
+
+    ``col_fn(j0, b)`` builds the active rows j0..n of covariance column
+    panel [j0, j0+b) — diagonal terms included.  Column j > 0 is first
+    consumed by panel 0's trailing update, so XLA fuses the (elementwise)
+    gram producer into that subtraction's epilogue: the N×N covariance
+    never gets a standalone HBM write, and the VPU work of building later
+    columns (exp of the radial profile) overlaps the MXU GEMMs of earlier
+    panels in the schedule — the "gram/panel overlap" lever of the round-4
+    verdict, applied to the loop order that actually wins on TPU (the
+    left-looking variant with the same fusion measured 73 vs 100 TF/s).
+
+    Not jitted itself (``col_fn`` is a closure): call inside jit — the
+    GP's log_likelihood routes through a module-level jitted wrapper.
+    """
+    if not assemble and rhs is None:
+        raise ValueError("assemble=False requires rhs (the NLML fused path)")
+    b = block_size if block_size is not None else auto_block_size(n)
+    if n <= b or n % b != 0:
+        K = _materialize_from_cols(col_fn, n, b)
+        return blocked_cholesky_cols(
+            K,
+            rhs=rhs,
+            panel_sub=panel_sub,
+            diag_precision=None if diag_precision == "auto" else diag_precision,
+            panel_precision=panel_precision,
+            trailing_precision=trailing_precision,
+            assemble=assemble,
+            panel_factorizer=panel_factorizer,
+        )
+    if diag_precision == "auto":
+        diag_precision = None
+    if panel_precision == "auto":
+        panel_precision = "high" if n >= 32768 else None
+    trailing_bf16 = trailing_precision == "bf16"
+    cols = [col_fn(k * b, b) for k in range(n // b)]
+    return _cols_core(
+        cols,
+        n,
+        b,
+        rhs if rhs is None else jnp.asarray(rhs, dtype),
+        panel_sub=panel_sub,
+        diag_prec=_PRECISIONS[diag_precision],
+        panel_prec=_PRECISIONS[panel_precision],
+        trail_prec=None if trailing_bf16 else _PRECISIONS[trailing_precision],
+        trailing_bf16=trailing_bf16,
+        assemble=assemble,
+        panel_factorizer=panel_factorizer,
+    )
+
+
+def _cols_core(
+    cols,
+    n: int,
+    b: int,
+    rhs,
+    *,
+    panel_sub,
+    diag_prec,
+    panel_prec,
+    trail_prec,
+    trailing_bf16,
+    assemble,
+    panel_factorizer,
+):
+    """Shared right-looking loop over active-row column panels.  ``cols``
+    may come from slicing a materialized K (blocked_cholesky_cols) or from
+    a lazy column builder (blocked_cholesky_cols_fused)."""
+    G = n // b
+    z = rhs
+    dtype = cols[0].dtype
     for k in range(G):
         k0 = k * b
         col = cols[k]  # (n - k0, b)
@@ -508,7 +650,7 @@ def blocked_cholesky_cols(
             )
         else:
             Lkk = jnp.linalg.cholesky(Akk)
-            W = solve_triangular(Lkk, jnp.eye(b, dtype=K.dtype), lower=True)
+            W = solve_triangular(Lkk, jnp.eye(b, dtype=dtype), lower=True)
         below = jnp.matmul(
             col[b:], W.T, precision=panel_prec
         )  # (n - k0 - b, b)
@@ -517,21 +659,40 @@ def blocked_cholesky_cols(
             zk = W @ jax.lax.slice(z, (k0,), (k0 + b,))
             zt = jax.lax.slice(z, (k0 + b,), (n,)) - below @ zk
             z = jnp.concatenate([z[:k0], zk, zt], axis=0)
+        # bf16 trailing-input mode: numerically a wash on TPU (the default
+        # f32 GEMM already rounds its inputs to one bf16 pass on the MXU)
+        # but the G−k trailing updates RE-READ this panel from HBM — a
+        # 2-byte store halves that traffic.  f32-only (a bf16 cast of f64
+        # inputs would be an accuracy cliff, so the knob is ignored there).
+        below_t = (
+            below.astype(jnp.bfloat16)
+            if trailing_bf16 and dtype == jnp.float32
+            else below
+        )
         for j in range(k + 1, G):
             j0 = j * b
-            Lj = below[j0 - k0 - b : j0 - k0]  # (b, b): panel rows of block j
-            Lrows = below[j0 - k0 - b :]  # rows j0.. of column k
+            Lj = below_t[j0 - k0 - b : j0 - k0]  # (b, b): panel rows of j
+            Lrows = below_t[j0 - k0 - b :]  # rows j0.. of column k
             if diag_prec is not None and trail_prec is None:
                 # rows of block j's future diagonal block: multi-pass GEMM
+                # (on the full-precision panel, even under bf16 trailing)
                 # so the Cholesky input stays PSD; bulk stays single-pass
+                Ljf = below[j0 - k0 - b : j0 - k0]
                 upd_diag = cols[j][:b] - jnp.matmul(
-                    Lj, Lj.T, precision=diag_prec
+                    Ljf, Ljf.T, precision=diag_prec
                 )
-                upd_rest = cols[j][b:] - Lrows[b:] @ Lj.T
+                upd_rest = cols[j][b:] - jnp.matmul(
+                    Lrows[b:],
+                    Lj.T,
+                    preferred_element_type=dtype,
+                )
                 cols[j] = jnp.concatenate([upd_diag, upd_rest], axis=0)
             else:
                 cols[j] = cols[j] - jnp.matmul(
-                    Lrows, Lj.T, precision=trail_prec
+                    Lrows,
+                    Lj.T,
+                    precision=trail_prec,
+                    preferred_element_type=dtype,
                 )
     if not assemble:
         diag = jnp.concatenate(
@@ -542,7 +703,7 @@ def blocked_cholesky_cols(
         jnp.concatenate(
             [
                 jnp.concatenate(
-                    [jnp.zeros((k * b, b), dtype=K.dtype), cols[k]], axis=0
+                    [jnp.zeros((k * b, b), dtype=dtype), cols[k]], axis=0
                 )
                 for k in range(G)
             ],
@@ -550,3 +711,43 @@ def blocked_cholesky_cols(
         )
     )
     return L if rhs is None else (L, z)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "panel_precision",
+        "trailing_precision",
+        "panel_factorizer",
+    ),
+)
+def left_nlml_from_K(
+    K: jnp.ndarray,
+    rhs: jnp.ndarray,
+    panel_precision: str | None = "auto",
+    trailing_precision: str | None = None,
+    panel_factorizer: str | None = None,
+):
+    """(diag_L, L⁻¹ rhs) via the left-looking loop on a materialized K.
+
+    Jitted wrapper so an EAGER caller dispatches ONE program instead of the
+    unrolled ~G²/2-op panel loop one op at a time — on the tunneled axon
+    backend at ~28 ms RTT per synchronized call the un-jitted loop is
+    pathologically slow (round-4 advisor finding).  Inside an enclosing jit
+    it simply inlines.
+    """
+    n = K.shape[0]
+
+    def col_fn(j0, b):
+        return jax.lax.slice(K, (j0, j0), (n, j0 + b))
+
+    return blocked_cholesky_left(
+        col_fn,
+        n,
+        rhs=rhs,
+        assemble=False,
+        dtype=K.dtype,
+        panel_precision=panel_precision,
+        trailing_precision=trailing_precision,
+        panel_factorizer=panel_factorizer,
+    )

@@ -94,7 +94,14 @@ class CholeskyFactor:
                     trailing_precision=config.CHOLESKY_PRECISION,
                     panel_factorizer=pf,
                 )
-            return blocked_cholesky_cols(K, rhs=rhs, panel_factorizer=pf)
+            return blocked_cholesky_cols(
+                K,
+                rhs=rhs,
+                panel_factorizer=pf,
+                trailing_precision="bf16"
+                if config.CHOLESKY_TRAILING_BF16
+                else None,
+            )
         L = jnp.linalg.cholesky(K)
         if rhs is None:
             return L
@@ -171,42 +178,68 @@ class CholeskyFactor:
                 "CHOLESKY_PRECISION='double_word' (the double-word carry "
                 "needs the materialized matrix); pass K instead"
             )
-        use_left = col_fn is not None or (
+        use_fused = col_fn is not None or (
             _config.CHOLESKY_ALGORITHM == "left"
             and n > 2048
             and _config.CHOLESKY_PRECISION != "double_word"
         )
-        if use_left:
-            from .blocked_cholesky import blocked_cholesky_left
-
-            if col_fn is None:
-                K = jnp.asarray(K)
-                if not assume_symmetric:
-                    K = _sym(K)
-                if jitter:
-                    K = K + jitter * jnp.eye(n, dtype=K.dtype)
-                dtype = K.dtype
-
-                def col_fn(j0, b, _K=K):
-                    return jax.lax.slice(_K, (j0, j0), (n, j0 + b))
-
-            else:
-                dtype = rhs.dtype
+        if use_fused:
             kw = {}
             if _config.CHOLESKY_PRECISION is not None:
                 kw = dict(
                     panel_precision=_config.CHOLESKY_PRECISION,
                     trailing_precision=_config.CHOLESKY_PRECISION,
                 )
-            diag, white = blocked_cholesky_left(
-                col_fn,
-                n,
-                rhs=rhs,
-                assemble=False,
-                dtype=dtype,
-                panel_factorizer=_config.PANEL_FACTORIZER,
-                **kw,
-            )
+            elif _config.CHOLESKY_TRAILING_BF16:
+                kw = dict(trailing_precision="bf16")
+            if col_fn is None:
+                # materialized-K left-looking: route through the module
+                # jitted wrapper so an eager caller gets ONE dispatch
+                # instead of the unrolled panel loop (round-4 advisor)
+                from .blocked_cholesky import left_nlml_from_K
+
+                K = jnp.asarray(K)
+                if not assume_symmetric:
+                    K = _sym(K)
+                if jitter:
+                    K = K + jitter * jnp.eye(n, dtype=K.dtype)
+                diag, white = left_nlml_from_K(
+                    K,
+                    rhs.astype(K.dtype),
+                    panel_factorizer=_config.PANEL_FACTORIZER,
+                    **kw,
+                )
+                return _sum_of_logs(diag), white
+            # explicit column builder: honor the configured loop order —
+            # "left" = one big GEMM per panel; anything else = the
+            # right-looking cols loop with lazy gram columns (the loop
+            # order that wins on TPU).  col_fn is a closure, so these run
+            # un-jitted — call nlml_terms(col_fn=...) inside jit (the GP's
+            # log_likelihood routes through its own jitted wrapper).
+            if _config.CHOLESKY_ALGORITHM == "left":
+                from .blocked_cholesky import blocked_cholesky_left
+
+                diag, white = blocked_cholesky_left(
+                    col_fn,
+                    n,
+                    rhs=rhs,
+                    assemble=False,
+                    dtype=rhs.dtype,
+                    panel_factorizer=_config.PANEL_FACTORIZER,
+                    **kw,
+                )
+            else:
+                from .blocked_cholesky import blocked_cholesky_cols_fused
+
+                diag, white = blocked_cholesky_cols_fused(
+                    col_fn,
+                    n,
+                    rhs=rhs,
+                    assemble=False,
+                    dtype=rhs.dtype,
+                    panel_factorizer=_config.PANEL_FACTORIZER,
+                    **kw,
+                )
             return _sum_of_logs(diag), white
         K = jnp.asarray(K)
         if not assume_symmetric:
@@ -233,6 +266,8 @@ class CholeskyFactor:
                     panel_precision=config.CHOLESKY_PRECISION,
                     trailing_precision=config.CHOLESKY_PRECISION,
                 )
+            elif config.CHOLESKY_TRAILING_BF16:
+                kw = dict(trailing_precision="bf16")
             diag, white = blocked_cholesky_cols(
                 K,
                 rhs=rhs.astype(K.dtype),

@@ -24,7 +24,14 @@ from typing import Any
 import jax
 import numpy as np
 
-SERIALIZATION_VERSION = 1
+# Highest version this reader understands.  Version history:
+#   1 — original format (plain pytree, no persistent ids);
+#   2 — treedef may contain Mesh persistent ids (distributed fits).
+# Writers stamp the SMALLEST version the payload needs (a mesh-free
+# checkpoint stays v1 and remains readable by pre-mesh releases); a v1-only
+# reader handed a v2 payload fails at the version gate with a clean error
+# instead of an opaque "unsupported persistent id" UnpicklingError.
+SERIALIZATION_VERSION = 2
 MAGIC = b"ALBTPU01"
 
 # -- durable loading ---------------------------------------------------------
@@ -58,10 +65,13 @@ class _MeshAwarePickler(pickle.Pickler):
     reference checkpointing compute-topology-free state (cereal never
     archives thread pools either)."""
 
+    used_persistent_ids: bool = False
+
     def persistent_id(self, obj):
         from jax.sharding import Mesh
 
         if isinstance(obj, Mesh):
+            self.used_persistent_ids = True
             return (
                 "albatross_tpu.mesh",
                 tuple(obj.axis_names),
@@ -136,9 +146,11 @@ def save_checkpoint(path: str, obj: Any) -> None:
     buffer = io.BytesIO()
     np.savez(buffer, *host_leaves)
     td_buf = io.BytesIO()
-    _MeshAwarePickler(td_buf).dump(treedef)
+    pickler = _MeshAwarePickler(td_buf)
+    pickler.dump(treedef)
     payload = {
-        "version": SERIALIZATION_VERSION,
+        # smallest version the payload needs (see SERIALIZATION_VERSION)
+        "version": 2 if pickler.used_persistent_ids else 1,
         "treedef": td_buf.getvalue(),
         "arrays": zlib.compress(buffer.getvalue(), level=3),
     }

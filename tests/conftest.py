@@ -120,7 +120,12 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
     # keep the central list honest against renames: warn when an entry's
     # FILE was collected but the listed test no longer exists (a renamed
-    # slow test would otherwise silently rejoin the quick lane)
+    # slow test would otherwise silently rejoin the quick lane).  Skip the
+    # check on nodeid-subset runs (`pytest file::test`): those collect a
+    # file but deselect its other tests, which would false-positive every
+    # listed entry of that file (round-4 advisor finding).
+    if any("::" in a for a in config.args) or config.getoption("-k"):
+        return
     stale = {
         t
         for t in _SLOW_TESTS - seen

@@ -296,3 +296,137 @@ def test_left_looking_guards_and_fallback(rng):
             CholeskyFactor.nlml_terms(None, y, col_fn=col_fn)
     finally:
         config.CHOLESKY_PRECISION = prev
+
+
+def test_right_fused_gram_gp_equivalence(rng):
+    """config.CHOLESKY_ALGORITHM="right_fused" (right-looking loop, gram
+    columns produced lazily at their first trailing update) must reproduce
+    the materialized-covariance NLML and gradients — the op sequence is
+    identical, only the gram's HBM materialization is elided."""
+    import jax as _jax
+
+    import albatross_tpu as ab
+    from albatross_tpu import config
+
+    n = 3072
+    x = jnp.asarray(np.sort(rng.uniform(0, 100, n)))
+    y = jnp.sin(0.3 * x) + 0.1 * jnp.asarray(rng.standard_normal(n))
+    data = ab.RegressionDataset.create(x, y)
+    m = ab.gp_from_covariance(
+        ab.SquaredExponential(5.0, 1.0)
+        + ab.measurement_only(ab.IndependentNoise(0.1, assume_unique=True)),
+        jitter=1e-6,
+    )
+    ll_r = float(m.log_likelihood(data))
+    g_r = _jax.tree_util.tree_leaves(
+        _jax.grad(lambda mm: -mm.log_likelihood(data))(m)
+    )
+    prev = config.CHOLESKY_ALGORITHM
+    try:
+        config.CHOLESKY_ALGORITHM = "right_fused"
+        ll_f = float(m.log_likelihood(data))
+        g_f = _jax.tree_util.tree_leaves(
+            _jax.grad(lambda mm: -mm.log_likelihood(data))(m)
+        )
+    finally:
+        config.CHOLESKY_ALGORITHM = prev
+    assert ll_f == pytest.approx(ll_r, rel=1e-10)
+    for a, b2 in zip(g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_trailing_bf16_mode(rng):
+    """trailing_precision="bf16" stores factored panels at bf16 for the
+    trailing re-reads: f32 results stay close (the mode exists to halve
+    HBM traffic, and on TPU the default f32 GEMM rounds to bf16 inputs
+    anyway); f64 inputs ignore the knob bitwise."""
+    from albatross_tpu.ops.blocked_cholesky import blocked_cholesky_cols
+
+    n, b = 2048, 512
+    A = rng.standard_normal((n, n))
+    K64 = jnp.asarray(A @ A.T + n * np.eye(n))
+    y64 = jnp.asarray(rng.standard_normal(n))
+
+    # f64: knob is a bitwise no-op
+    d0, z0 = blocked_cholesky_cols(K64, block_size=b, rhs=y64, assemble=False)
+    d1, z1 = blocked_cholesky_cols(
+        K64, block_size=b, rhs=y64, assemble=False,
+        trailing_precision="bf16",
+    )
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+
+    # f32: bf16-stored trailing inputs, results close to the f32 factor
+    K32 = K64.astype(jnp.float32)
+    y32 = y64.astype(jnp.float32)
+    d2, z2 = blocked_cholesky_cols(
+        K32, block_size=b, rhs=y32, assemble=False,
+        trailing_precision="bf16",
+    )
+    assert np.all(np.isfinite(np.asarray(d2)))
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(d0, np.float32), rtol=2e-2
+    )
+    # the NLML scalars (what the mode serves) stay tight
+    ld_ref = 2.0 * np.sum(np.log(np.asarray(d0)))
+    ld_b16 = 2.0 * np.sum(np.log(np.asarray(d2, np.float64)))
+    assert ld_b16 == pytest.approx(ld_ref, rel=1e-3)
+    quad_ref = float(jnp.sum(z0 * z0))
+    quad_b16 = float(jnp.sum(z2.astype(jnp.float64) ** 2))
+    assert quad_b16 == pytest.approx(quad_ref, rel=5e-2)
+
+    # diag refinement composes with bf16 trailing (f32 diag rows)
+    d3, z3 = blocked_cholesky_cols(
+        K32, block_size=b, rhs=y32, assemble=False,
+        trailing_precision="bf16", diag_precision="highest",
+    )
+    assert np.all(np.isfinite(np.asarray(d3)))
+
+    # config routing: CHOLESKY_TRAILING_BF16 reaches the NLML path
+    from albatross_tpu import config
+    from albatross_tpu.ops.linalg import CholeskyFactor
+
+    ld_r, w_r = CholeskyFactor.nlml_terms(K32, y32, assume_symmetric=True)
+    prev = config.CHOLESKY_TRAILING_BF16
+    try:
+        config.CHOLESKY_TRAILING_BF16 = True
+        ld_b, w_b = CholeskyFactor.nlml_terms(K32, y32, assume_symmetric=True)
+    finally:
+        config.CHOLESKY_TRAILING_BF16 = prev
+    assert float(ld_b) == pytest.approx(float(ld_r), rel=1e-3)
+
+
+def test_cols_nondivisible_n_honors_precision_knobs(rng):
+    """Non-divisible n now pads to the panel boundary instead of silently
+    dropping the precision/factorizer knobs (round-4 advisor finding):
+    the padded run must equal the numpy factorization, in every output
+    layout."""
+    from albatross_tpu.ops.blocked_cholesky import blocked_cholesky_cols
+
+    n, b = 2900, 1024  # 2900 % 1024 != 0
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    y = jnp.asarray(rng.standard_normal(n))
+    L_ref = np.linalg.cholesky(np.asarray(K))
+    z_ref = np.linalg.solve(L_ref, np.asarray(y))
+
+    L = blocked_cholesky_cols(
+        K, block_size=b, panel_precision="highest",
+        trailing_precision="highest",
+    )
+    assert L.shape == (n, n)
+    np.testing.assert_allclose(np.asarray(L), L_ref, atol=1e-8)
+    L2, z2 = blocked_cholesky_cols(
+        K, block_size=b, rhs=y, panel_precision="highest",
+        trailing_precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(z2), z_ref, atol=1e-7)
+    diag, z3 = blocked_cholesky_cols(
+        K, block_size=b, rhs=y, assemble=False,
+        panel_precision="highest", trailing_precision="highest",
+        panel_factorizer="fused",
+    )
+    np.testing.assert_allclose(np.asarray(diag), np.diag(L_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(z3), z_ref, atol=1e-7)

@@ -274,3 +274,39 @@ def test_newer_version_fails_with_versioned_error(tmp_path):
         )
     with pytest.raises(ValueError, match="version 99 is newer"):
         load_checkpoint(path)
+
+
+def test_checkpoint_version_stamped_by_payload(tmp_path, rng):
+    """Writers stamp the smallest version the payload needs (round-4
+    advisor finding): mesh-free checkpoints stay v1 (readable by pre-mesh
+    releases), mesh-bearing ones carry v2 so an old reader fails at the
+    version gate — not with an opaque persistent-id UnpicklingError."""
+    import pickle
+
+    from jax.sharding import Mesh
+
+    from albatross_tpu.parallel.gp import DistributedGaussianProcess
+    from albatross_tpu.serialize.checkpoint import MAGIC
+
+    def stamped_version(path):
+        with open(path, "rb") as f:
+            assert f.read(len(MAGIC)) == MAGIC
+            return pickle.load(f)["version"]
+
+    plain = ab.gp_from_covariance(_gp_kernel(), jitter=1e-6).fit(
+        _dataset(rng, n=16)
+    )
+    p1 = str(tmp_path / "plain.ckpt")
+    save_checkpoint(p1, plain)
+    assert stamped_version(p1) == 1
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    dist = DistributedGaussianProcess(_gp_kernel(), mesh, axis="data").fit(
+        _dataset(rng, n=32)
+    )
+    p2 = str(tmp_path / "dist.ckpt")
+    save_checkpoint(p2, dist)
+    assert stamped_version(p2) == 2
+    # and both load back
+    load_checkpoint(p1)
+    load_checkpoint(p2)
