@@ -70,11 +70,22 @@ CHOLESKY_TRAILING_BF16: bool = False
 # both the panel solve and the inverse composition
 # (ops/blocked_cholesky.py fused_panel_chol_inverse) — an A/B knob for the
 # serial-panel critical path; benchmarks/exp_chol_panel.py measures it.
+# "pallas" = the VMEM-resident fused chol+inverse kernel
+# (ops/pallas_chol.py): factor and triangular inverse of the whole panel
+# in ONE kernel — requires CHOLESKY_BLOCK_SIZE <= 1024 (three b^2 f32
+# buffers must fit the 16 MB VMEM); benchmarks/exp_pallas_panel.py
+# measures it.
 # Read EAGERLY by linalg._factor_core/nlml_terms and threaded into the
 # inner jit as a STATIC argument (a config flip busts the cache through a
 # fresh outer trace; direct blocked_cholesky_cols callers must pass
 # panel_factorizer=... themselves — the inner jit never re-reads config).
 PANEL_FACTORIZER: str | None = None
+
+# Panel (block) size override for the blocked Cholesky: None = the
+# measured auto policy (ops/blocked_cholesky.py auto_block_size, smallest
+# 128-aligned divisor >= 1792 with <= 16 panels).  The pallas panel
+# factorizer needs b <= 1024; set 1024 alongside PANEL_FACTORIZER="pallas".
+CHOLESKY_BLOCK_SIZE: int | None = None
 
 # NLML accuracy mode (ops/compensated.py): double-word (two-float)
 # reductions for the log-det and whiten sums plus ONE iterative-refinement

@@ -146,6 +146,7 @@ def _make_gram_col_fn(x2, ls, sigma, diag_add, profile):
         "panel_precision",
         "trailing_precision",
         "panel_factorizer",
+        "block_size",
     ),
 )
 def _fused_gram_nlml(
@@ -160,6 +161,7 @@ def _fused_gram_nlml(
     panel_precision=None,
     trailing_precision=None,
     panel_factorizer=None,
+    block_size=None,
 ):
     """(log|K|, L⁻¹ rhs) with the gram produced INSIDE the factorization
     (no standalone N×N covariance write).  Module-level jit keyed on array
@@ -178,6 +180,7 @@ def _fused_gram_nlml(
         rhs=rhs,
         assemble=False,
         dtype=rhs.dtype,
+        block_size=block_size,
         panel_precision=panel_precision if panel_precision else "auto",
         trailing_precision=trailing_precision,
         panel_factorizer=panel_factorizer,
@@ -426,6 +429,7 @@ class GaussianProcess(ModelBase):
                     panel_precision=config.CHOLESKY_PRECISION,
                     trailing_precision=trailing,
                     panel_factorizer=config.PANEL_FACTORIZER,
+                    block_size=config.CHOLESKY_BLOCK_SIZE,
                 )
                 return (
                     -_nll_from_whitened(log_det, white)

@@ -186,6 +186,15 @@ def _panel_chol_inverse(
     """
     if factorizer == "fused":
         return fused_panel_chol_inverse(Akk, sub, precision=precision)
+    if factorizer == "pallas":
+        # single VMEM-resident kernel for factor AND inverse (b <= 1024):
+        # attacks the serial-panel critical path (ops/pallas_chol.py).
+        # Returns transposed-space (U, Wu); XLA cancels the transpose
+        # pairs against the consuming GEMMs.
+        from .pallas_chol import pallas_panel_cholinv
+
+        U, Wu = pallas_panel_cholinv(Akk)
+        return U.T, Wu.T
     L = jnp.linalg.cholesky(Akk)
     return L, blocked_tri_inverse(L, sub, precision=precision)
 
@@ -716,6 +725,7 @@ def _cols_core(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "block_size",
         "panel_precision",
         "trailing_precision",
         "panel_factorizer",
@@ -724,6 +734,7 @@ def _cols_core(
 def left_nlml_from_K(
     K: jnp.ndarray,
     rhs: jnp.ndarray,
+    block_size: int | None = None,
     panel_precision: str | None = "auto",
     trailing_precision: str | None = None,
     panel_factorizer: str | None = None,
@@ -747,6 +758,7 @@ def left_nlml_from_K(
         rhs=rhs,
         assemble=False,
         dtype=K.dtype,
+        block_size=block_size,
         panel_precision=panel_precision,
         trailing_precision=trailing_precision,
         panel_factorizer=panel_factorizer,

@@ -90,6 +90,7 @@ class CholeskyFactor:
                 return blocked_cholesky_cols(
                     K,
                     rhs=rhs,
+                    block_size=config.CHOLESKY_BLOCK_SIZE,
                     panel_precision=config.CHOLESKY_PRECISION,
                     trailing_precision=config.CHOLESKY_PRECISION,
                     panel_factorizer=pf,
@@ -97,6 +98,7 @@ class CholeskyFactor:
             return blocked_cholesky_cols(
                 K,
                 rhs=rhs,
+                block_size=config.CHOLESKY_BLOCK_SIZE,
                 panel_factorizer=pf,
                 trailing_precision="bf16"
                 if config.CHOLESKY_TRAILING_BF16
@@ -206,6 +208,7 @@ class CholeskyFactor:
                 diag, white = left_nlml_from_K(
                     K,
                     rhs.astype(K.dtype),
+                    block_size=_config.CHOLESKY_BLOCK_SIZE,
                     panel_factorizer=_config.PANEL_FACTORIZER,
                     **kw,
                 )
@@ -225,6 +228,7 @@ class CholeskyFactor:
                     rhs=rhs,
                     assemble=False,
                     dtype=rhs.dtype,
+                    block_size=_config.CHOLESKY_BLOCK_SIZE,
                     panel_factorizer=_config.PANEL_FACTORIZER,
                     **kw,
                 )
@@ -237,6 +241,7 @@ class CholeskyFactor:
                     rhs=rhs,
                     assemble=False,
                     dtype=rhs.dtype,
+                    block_size=_config.CHOLESKY_BLOCK_SIZE,
                     panel_factorizer=_config.PANEL_FACTORIZER,
                     **kw,
                 )
@@ -272,6 +277,7 @@ class CholeskyFactor:
                 K,
                 rhs=rhs.astype(K.dtype),
                 assemble=False,
+                block_size=config.CHOLESKY_BLOCK_SIZE,
                 panel_factorizer=config.PANEL_FACTORIZER,
                 **kw,
             )
