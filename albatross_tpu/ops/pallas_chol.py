@@ -75,15 +75,24 @@ def _chol_tile_upper(tile):
     sub = jax.lax.broadcasted_iota(jnp.int32, (_T, 1), 0)
 
     def body(j, a):
-        row = jax.lax.dynamic_slice(a, (j, 0), (1, _T))  # (1, 128)
+        # row j via a masked sublane reduction — Mosaic has no
+        # dynamic_slice on values, and the reduction is a cheap VPU op
+        is_row = sub == j
+        row = jnp.sum(jnp.where(is_row, a, 0.0), axis=0, keepdims=True)
         pivot = jnp.sum(jnp.where(lane == j, row, 0.0))
         inv_sqrt = 1.0 / jnp.sqrt(pivot)
         lrow = jnp.where(lane >= j, row * inv_sqrt, 0.0)
-        a = jax.lax.dynamic_update_slice(a, lrow, (j, 0))
-        outer = _dot00(lrow, lrow)  # (128, 128) rank-1 on the MXU
-        return a - jnp.where(sub > j, outer, 0.0)
+        # column j from the TRAILING region's preserved symmetry (rows and
+        # columns > j receive symmetric rank-1 updates), via a masked lane
+        # reduction — gives the (128, 1) orientation without a transpose,
+        # so the rank-1 update is a pure VPU broadcast multiply (the MXU
+        # dim-0-contraction outer forced a relayout per step)
+        lcol = jnp.sum(jnp.where(lane == j, a, 0.0), axis=1, keepdims=True)
+        lcol = jnp.where(sub > j, lcol * inv_sqrt, 0.0)
+        # write row j and subtract the rank-1 update below it, in one select
+        return jnp.where(is_row, lrow, a - lcol * lrow)
 
-    out = jax.lax.fori_loop(0, _T, body, tile)
+    out = jax.lax.fori_loop(0, _T, body, tile, unroll=4)
     return jnp.where(sub <= lane, out, 0.0)
 
 

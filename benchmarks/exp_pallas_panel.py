@@ -49,16 +49,13 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # -- micro: per-panel chol+inverse --------------------------------------
-    A = rng.standard_normal((B_PANEL, B_PANEL))
-    Akk = jnp.asarray(
-        (A @ A.T + B_PANEL * np.eye(B_PANEL)).astype(np.float32)
-    )
-
+    # -- micro: per-panel chol+inverse (stage scaling over b isolates the
+    # tile-recursion cost, which grows linearly in tiles, from the MXU
+    # compose work, which grows cubically) ----------------------------------
     from albatross_tpu.ops.blocked_cholesky import _panel_chol_inverse
     from albatross_tpu.ops.pallas_chol import pallas_panel_cholinv
 
-    def timed_chain(fn, reps=16):
+    def timed_chain(fn, Akk, reps=16):
         @jax.jit
         def step(a, prev):
             L, W = fn(a + 1e-30 * prev)
@@ -77,21 +74,36 @@ def main():
             best = min(best, (time.perf_counter() - t0) / reps)
         return best, first
 
-    for tag, fn in (
-        ("micro_builtin", lambda a: _panel_chol_inverse(a, 256)),
-        (
-            "micro_pallas",
-            lambda a: tuple(x.T for x in pallas_panel_cholinv(a)),
-        ),
-    ):
-        dt, l00 = timed_chain(fn)
-        rec = {
-            "variant": f"{tag}_b{B_PANEL}",
-            "ms": round(dt * 1e3, 3),
-            "l00": l00,
-        }
-        recs.append(rec)
-        print(json.dumps(rec), flush=True)
+    micro_sizes = tuple(
+        int(s)
+        for s in os.environ.get(
+            "ALBATROSS_EXP_MICRO_SIZES", str(B_PANEL)
+        ).split(",")
+    )
+    for b in micro_sizes:
+        A = rng.standard_normal((b, b))
+        Akk = jnp.asarray((A @ A.T + b * np.eye(b)).astype(np.float32))
+        for tag, fn in (
+            ("micro_builtin", lambda a: _panel_chol_inverse(a, 256)),
+            (
+                "micro_pallas",
+                lambda a: tuple(x.T for x in pallas_panel_cholinv(a)),
+            ),
+        ):
+            dt, l00 = timed_chain(fn, Akk)
+            rec = {
+                "variant": f"{tag}_b{b}",
+                "ms": round(dt * 1e3, 3),
+                "l00": l00,
+            }
+            recs.append(rec)
+            print(json.dumps(rec), flush=True)
+    if os.environ.get("ALBATROSS_EXP_MICRO_ONLY") == "1":
+        out = os.path.join(os.path.dirname(__file__), "PALLAS_PANEL_MICRO.json")
+        with open(out, "w") as fh:
+            json.dump(recs, fh, indent=1)
+        print(f"wrote {out}", flush=True)
+        return
 
     # -- full NLML A/B ------------------------------------------------------
     x = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, N)), dtype=jnp.float32)
