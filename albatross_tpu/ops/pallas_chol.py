@@ -92,7 +92,11 @@ def _chol_tile_upper(tile):
         # write row j and subtract the rank-1 update below it, in one select
         return jnp.where(is_row, lrow, a - lcol * lrow)
 
-    out = jax.lax.fori_loop(0, _T, body, tile, unroll=4)
+    # Mosaic's for-loop lowering supports only unroll=1 or full unroll;
+    # full unroll (128 inlined bodies per tile, x tiles per panel) blows up
+    # both interpret-mode tracing and the remote Mosaic compile, so the
+    # rolled loop stays
+    out = jax.lax.fori_loop(0, _T, body, tile)
     return jnp.where(sub <= lane, out, 0.0)
 
 

@@ -73,8 +73,6 @@ os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -105,6 +103,10 @@ def main() -> None:
     ap.add_argument("--paths", default="single,1d,2d")
     args = ap.parse_args()
     want = set(args.paths.split(","))
+    # --f32 must actually COMPUTE in f32: under x64, the f64 python-scalar
+    # hyperparameters promote the whole pipeline to f64 (caught round 5 —
+    # the first "f32" artifact was f64-tight, an impossibility in real f32)
+    jax.config.update("jax_enable_x64", not args.f32)
     n = args.n
     dtype = jnp.float32 if args.f32 else jnp.float64
     tol_nlml, tol_grad = (1e-4, 3e-3) if args.f32 else (1e-9, 1e-8)
