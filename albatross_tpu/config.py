@@ -12,9 +12,14 @@ import jax
 #   catastrophically for large coordinates (2.0e-5 max error vs f64 at
 #   D=32/coords~100 even at precision=HIGHEST).  The pallas kernel
 #   (round-4 MXU rewrite: per-tile-pair centered contraction + near-field
-#   exact refinement) is BOTH near-exact AND faster: 5.5 ms vs XLA 7.8 ms
-#   at N=8192/D=32 (tile=256; bench.py gram_highd row) -> pallas by
-#   default for accuracy and speed.
+#   exact refinement) is near-EXACT; the default is chosen on that
+#   accuracy, not speed.  Honest speed numbers (VERDICT r4 #2 — the
+#   round-4 interactive "pallas 5.5 vs XLA 7.8 ms" reading did not
+#   reproduce): driver BENCH_r04 pallas 3.25 vs XLA 2.70 ms; round-5
+#   same-session median-of-5 ladder pallas 3.41 (tile=512) / 4.00
+#   (tile=256) / 4.75 (tile=128) vs XLA 3.25 ms at N=8192/D=32 — XLA is
+#   ~5-17% faster, pallas is ~1e3x more accurate.  bench.py's gram row
+#   autotunes the tile and records both same-session times.
 # True forces pallas everywhere, False forbids it, None = the auto policy.
 USE_PALLAS_GRAM: bool | None = None
 # minimum N*M before the fused Pallas gram engages (tiling overhead below)

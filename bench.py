@@ -366,7 +366,7 @@ def _extra_benchmarks():
                 ),
                 t,
             )
-            for t in (128, 256)
+            for t in (128, 256, 512)
         )
         t_xla = time_gram(
             lambda X, Y: _xla_reference_gram(
