@@ -8,10 +8,14 @@ NLML → exact gradient — in f64 on the 8-virtual-device CPU mesh and asserts
 the 2-D and 1-D values match the single-chip path at f64-tight tolerances
 (<=1e-9 NLML rel, <=1e-8 gradient rel), where a reduction-order or
 off-by-one-panel bug cannot hide.  The executed size is capped by the
-host environment, not the code: XLA:CPU's hard 40 s collective-rendezvous
-watchdog kills runs whose per-device inter-collective chunk exceeds it on
-this 2-core box (measured envelope: N=6144 f64 passes, N=8192 both dtypes
-crash at the first all-gather — see the --f32 flag comment).
+host environment, not the code: XLA:CPU's in-process collectives carry a
+20 s "stuck thread" rendezvous watchdog whose recovery path MIS-SYNCS
+under extreme scheduling skew — round-5 controlled experiment: the exact
+failing config (n=8192, panel=512, same seed, jit+value_and_grad) is
+f64-tight (2.6e-16) when this script is the ONLY CPU-heavy process, and
+wrong by 1e2-1e6 relative (with near-correct gradients) when another
+heavy process shares the 2-core box.  RUN ARTIFACT JOBS ALONE, and treat
+any "Thread is unstuck!" line in the log as invalidating the run.
 
 It also reconciles the compiled per-device memory analysis with the
 *executed* host peak RSS (all 8 virtual devices share the host, so

@@ -40,6 +40,14 @@ def rng():
 # membership is maintained against measured durations in one place.
 # ---------------------------------------------------------------------------
 _SLOW_TESTS = {
+    "test_blocked_cholesky.py::test_left_looking_fused_gram_gp_equivalence",
+    "test_blocked_cholesky.py::test_right_fused_gram_gp_equivalence",
+    "test_blocked_cholesky.py::test_cols_nondivisible_n_honors_precision_knobs",
+    "test_blocked_cholesky.py::test_trailing_bf16_mode",
+    "test_blocked_cholesky.py::test_fused_panel_factorizer_matches_builtin",
+    "test_blocked_cholesky.py::test_left_looking_matches_right_looking",
+    "test_blocked_cholesky.py::test_no_assemble_nlml_path",
+    "test_blocked_cholesky.py::test_factorize_whiten_small_and_large_agree",
     "test_examples.py::test_distributed_example",
     "test_examples.py::test_accuracy_example",
     "test_examples.py::test_temperature_example",
