@@ -9,6 +9,21 @@ equality mask between the two batches; for the overwhelmingly common case of
 unique training features over a shared batch this reduces to sigma² I, so the
 symmetric path short-circuits on object identity (``X is Y``) when
 ``assume_unique`` is set — avoiding an N² comparison epilogue at scale.
+
+``assume_unique`` is a CONTRACT, not a hint: if the batch actually contains
+duplicated feature values, (a) by-value semantics make the covariance
+exactly singular — a duplicated pair gets sigma² on its off-diagonal too,
+so the 2×2 block [[k+s², k+s²], [k+s², k+s²]] is rank-1 and the nugget no
+longer regularizes it (the factorization NaNs); and (b) the single-chip
+gram (identity shortcut → sigma² I) and the mesh-sharded gram (tiles are
+distinct slices → value-equality mask, the reference's noise.hpp:21-46
+semantics) build DIFFERENT matrices, so distributed results diverge from
+single-chip.  Beware f32 inputs at scale: a uniform draw of n ≥ 8192
+points over [0, 100] collides on the f32 grid with high probability
+(round-5 find — the big-N artifact's "2-D NaN" was one duplicated pair).
+Deduplicate (``core.dataset.deduplicate``) or jitter the inputs, or
+drop ``assume_unique`` to get the honest (singular) by-value semantics on
+every path.
 """
 
 from __future__ import annotations

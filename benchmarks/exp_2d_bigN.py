@@ -105,6 +105,16 @@ def main() -> None:
     # scale point (n>=16384) it alone trips the 40 s watchdog — the scale
     # artifact runs single+2d and records the 1-D envelope separately
     ap.add_argument("--paths", default="single,1d,2d")
+    # staged mode: execute the 2-D NLML as SEPARATE dispatches (gram →
+    # factorization → log-det → whiten) instead of one fused
+    # jit(value_and_grad) program.  On this 2-core host the fused
+    # program's collectives stall past XLA:CPU's 20 s rendezvous watchdog
+    # and its "unstuck" recovery corrupts the run (NaN/garbage with 2
+    # unstuck events at n=16384 f32; the same primitives run eagerly are
+    # finite with zero events) — staging keeps every rendezvous short.
+    # Forward NLML only (the gradient needs the fused program; its
+    # f64-tight equivalence is asserted by the non-staged artifact).
+    ap.add_argument("--staged", action="store_true")
     args = ap.parse_args()
     want = set(args.paths.split(","))
     # --f32 must actually COMPUTE in f32: under x64, the f64 python-scalar
@@ -123,7 +133,19 @@ def main() -> None:
     mesh = Mesh(devices, ("data", "model"))
 
     rng = np.random.default_rng(7)
-    x = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, n)), dtype)
+    # jittered strict grid, NOT a raw uniform draw: at f32 over [0, 100] a
+    # uniform draw of n >= 8192 points has birthday-collision duplicates
+    # (~n²/2.6e7 expected), and a duplicated point under
+    # IndependentNoise(assume_unique=True) gets the nugget added to the
+    # OFF-diagonal pair too — the 2x2 block [[s+v, s+v], [s+v, s+v]] is
+    # exactly singular, so the factorization NaNs (round-5 find: this, not
+    # collective corruption, was the n >= 8192 f32 2-D failure; the
+    # single-chip path survived the same singular pair only by rounding
+    # luck).  Grid spacing 100/n >> f32 ulp(100) keeps every point unique
+    # in both dtypes.
+    x = jnp.asarray(
+        (np.arange(n) + rng.uniform(0.1, 0.9, n)) * (100.0 / n), dtype
+    )
     y = jnp.sin(0.3 * x) + 0.1 * jnp.asarray(rng.standard_normal(n), dtype)
     data = ab.RegressionDataset.create(x, y)
     kernel = ab.SquaredExponential(5.0, 1.0) + ab.measurement_only(
@@ -175,6 +197,37 @@ def main() -> None:
     for tag, model in (("1d", dist_1d), ("2d", dist_2d)):
         if tag not in want:
             continue
+        if args.staged and tag == "2d":
+            from albatross_tpu.kernels import as_measurement
+
+            t0 = time.perf_counter()
+            zero_mean = model.mean_function.remove_from(
+                as_measurement(data.features), data.targets.mean
+            )
+            chol = model._sharded_factorize(data.features, None)
+            ld = float(chol.log_determinant())
+            white = chol.sqrt_solve(zero_mean)
+            q = float(jnp.sum(white * white))
+            v = 0.5 * (ld + q + n * float(np.log(2.0 * np.pi))) - float(
+                model.prior_log_likelihood()
+            )
+            dt = time.perf_counter() - t0
+            row = {
+                "path": "dist_2d_staged_forward",
+                "nlml": v,
+                "grad": None,
+                "wall_s": round(dt, 1),
+                "peak_rss_gb": round(rss_gb(), 2),
+            }
+            report["rows"].append(row)
+            print(json.dumps(row), flush=True)
+            rel = abs(v - v_ref) / abs(v_ref)
+            rel_err["nlml_2d"] = rel
+            rel_err["grad_2d"] = None  # forward-only in staged mode
+            assert rel < tol_nlml, (
+                f"staged 2d NLML rel {rel:.3e} exceeds {tol_nlml}"
+            )
+            continue
         v, g = run(f"dist_{tag}", model)
         rel = abs(v - v_ref) / abs(v_ref)
         grel = float(
@@ -202,6 +255,7 @@ def main() -> None:
     }
     report["rel_err"] = rel_err
     report["paths_executed"] = sorted(want)
+    report["staged"] = bool(args.staged)
     out = os.path.join(
         os.path.dirname(__file__),
         "BIGN_2D_F32.json" if args.f32 else "BIGN_2D.json",
