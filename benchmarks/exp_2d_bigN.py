@@ -90,15 +90,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--panel", type=int, default=1024)
-    # f32 mode: XLA:CPU's in-process collectives carry a HARD 40 s
-    # rendezvous watchdog; on this 2-core host the per-device
-    # inter-collective chunk exceeds it above N≈4096 f64 / N≈8192 f32
-    # (measured: N=8192/16384 f64 and N=16384 f32 all crash at the first
-    # all-gather, idle host, single-threaded Eigen — the shared 2-thread
-    # intra-op pool serializes whole device thunks, so device arrivals
-    # skew by full chunks).  The artifact pair is therefore the largest
-    # f64-tight size that executes plus the largest f32 size that
-    # executes, with the crash logs as environment-cap evidence.
+    # f32 mode: true f32 compute (x64 disabled below).  Round-5 measured
+    # envelope on this 2-core host, running ALONE: the fused
+    # jit(value_and_grad) program executes f64-tight through n=8192
+    # (f64), and at n=16384 f32 dies at the HARD 40 s rendezvous
+    # termination (single-threaded Eigen, unique data) — the n>=16384 f32
+    # scale point therefore runs --staged (forward NLML as separate
+    # dispatches, every rendezvous short), asserted to 1e-4 vs the
+    # single-chip f32 value.  The artifact pair is the largest fused
+    # f64-tight run plus the staged f32 scale run.
     ap.add_argument("--f32", action="store_true")
     # which pipelines to execute: the 1-D path's inter-collective chunks
     # are row-panel × n sized (the biggest of the three), so at the f32
@@ -140,9 +140,10 @@ def main() -> None:
     # OFF-diagonal pair too — the 2x2 block [[s+v, s+v], [s+v, s+v]] is
     # exactly singular, so the factorization NaNs (round-5 find: this, not
     # collective corruption, was the n >= 8192 f32 2-D failure; the
-    # single-chip path survived the same singular pair only by rounding
-    # luck).  Grid spacing 100/n >> f32 ulp(100) keeps every point unique
-    # in both dtypes.
+    # single-chip gram takes the X-is-Y identity shortcut -> sigma^2 I,
+    # so the two paths even build DIFFERENT matrices under duplicates —
+    # see kernels/noise.py).  Grid spacing 100/n >> f32 ulp(100) keeps
+    # every point unique in both dtypes.
     x = jnp.asarray(
         (np.arange(n) + rng.uniform(0.1, 0.9, n)) * (100.0 / n), dtype
     )
