@@ -260,7 +260,14 @@ def _extra_benchmarks():
             "squared_exponential_length_scale", jnp.float32(0.5) + 1e-30 * prev
         )
         v, g = jax.value_and_grad(lambda mm: -mm.log_likelihood(data))(m)
-        return v
+        # the returned scalar must CONSUME every gradient leaf: returning v
+        # alone lets XLA dead-code-eliminate the whole backward pass
+        # (round-5 catch — the rows 3-4 "121 evals/s value+grad" figure was
+        # forward-only; the honest value+grad rate is ~1/3 of it)
+        gsum = sum(
+            jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(g)
+        )
+        return v + 1e-30 * gsum
 
     prev = value_and_grad_step(gmodel, gdata, jnp.float32(0.0))
     float(prev)
