@@ -41,14 +41,19 @@ def nlml_flops(n: int) -> float:
     return cholesky + whiten + gram
 
 
-def _measure_nlml(n: int, r: int):
+def _measure_nlml(n: int, r: int, algorithm: str = "right"):
     """Best per-eval seconds for the full NLML pipeline at size n (r chained
-    async dispatches per timed batch, single final sync)."""
+    async dispatches per timed batch, single final sync).  ``algorithm``
+    selects the factorization loop order: "right" (the default fast path,
+    materialized covariance) or "right_fused" (lazy gram columns — ~14%
+    slower at N=28672 but the memory-lean mode that extends the single-chip
+    ceiling past N=100k; see benchmarks/SCALE_CEILING.json)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     import albatross_tpu as ab
+    from albatross_tpu import config as _cfg
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(np.sort(rng.uniform(0.0, 100.0, n)), dtype=jnp.float32)
@@ -62,35 +67,42 @@ def _measure_nlml(n: int, r: int):
     model = ab.gp_from_covariance(kernel, jitter=1e-4)
     data = ab.RegressionDataset.create(x, y)
 
-    @jax.jit
-    def nlml_step(model, data, prev):
-        # perturb the length scale by an invisible function of the previous
-        # result: keeps each call data-dependent on the last so the r async
-        # dispatches execute back-to-back on device.
-        eps = 1e-30 * prev
-        m = model.set_param_value(
-            "squared_exponential_length_scale",
-            jnp.float32(0.5) + eps,
-        )
-        return -m.log_likelihood(data)
+    prev_alg = _cfg.CHOLESKY_ALGORITHM
+    _cfg.CHOLESKY_ALGORITHM = algorithm
+    try:
+        # fresh jit per call: the trace reads the algorithm knob eagerly
+        # and threads it as a static arg into the inner program
+        @jax.jit
+        def nlml_step(model, data, prev):
+            # perturb the length scale by an invisible function of the
+            # previous result: keeps each call data-dependent on the last
+            # so the r async dispatches execute back-to-back on device.
+            eps = 1e-30 * prev
+            m = model.set_param_value(
+                "squared_exponential_length_scale",
+                jnp.float32(0.5) + eps,
+            )
+            return -m.log_likelihood(data)
 
-    prev = jnp.float32(0.0)
-    prev = nlml_step(model, data, prev)
-    first = float(prev)  # compile + sync
-    if not np.isfinite(first):
-        raise RuntimeError(f"non-finite NLML at n={n}: {first}")
+        prev = jnp.float32(0.0)
+        prev = nlml_step(model, data, prev)
+        first = float(prev)  # compile + sync
+        if not np.isfinite(first):
+            raise RuntimeError(f"non-finite NLML at n={n}: {first}")
 
-    def timed_batch():
-        p = jnp.float32(0.0)
-        t0 = time.perf_counter()
-        for _ in range(r):
-            p = nlml_step(model, data, p)
-        float(p)  # single sync
-        return time.perf_counter() - t0
+        def timed_batch():
+            p = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for _ in range(r):
+                p = nlml_step(model, data, p)
+            float(p)  # single sync
+            return time.perf_counter() - t0
 
-    timed_batch()  # one more warm batch
-    best = min(timed_batch() for _ in range(3))
-    return best / r
+        timed_batch()  # one more warm batch
+        best = min(timed_batch() for _ in range(3))
+        return best / r
+    finally:
+        _cfg.CHOLESKY_ALGORITHM = prev_alg
 
 
 def main() -> int:
@@ -522,8 +534,10 @@ def _extra_benchmarks():
             36864,
             40960,
             49152,
+            53248,
+            57344,  # expected first OOM of the materialized path (16 GB HBM)
         )
-        max_n = int(os.environ.get("ALBATROSS_BENCH_SCALE_MAX", "49152"))
+        max_n = int(os.environ.get("ALBATROSS_BENCH_SCALE_MAX", "57344"))
         ceiling = None
         for n_scale in sizes:
             if n_scale > max_n:
@@ -556,6 +570,36 @@ def _extra_benchmarks():
             }
             print(json.dumps(rec), file=sys.stderr, flush=True)
             out.append(rec)
+            # the N=100k-class point: CHOLESKY_ALGORITHM="right_fused"
+            # (lazy gram columns) trades ~14% of the N=28672 rate for a
+            # memory profile XLA schedules in ~13 GB of temps at N=102400
+            # — past the materialized path's ~57k OOM and past the
+            # BASELINE.md north-star size on ONE chip (ladder + compiled
+            # memory stats: benchmarks/SCALE_CEILING.json)
+            n_big = int(os.environ.get("ALBATROSS_BENCH_SCALE_100K", "102400"))
+            if n_big:
+                try:
+                    per_eval = _measure_nlml(n_big, 2, algorithm="right_fused")
+                    tflops = nlml_flops(n_big) / per_eval / 1e12
+                    rec = {
+                        "metric": f"exact_gp_nlml_tflops_n{n_big}_right_fused",
+                        "value": round(tflops, 4),
+                        "unit": (
+                            f"TFLOP/s ({per_eval:.2f} s/NLML eval, "
+                            "single chip, lazy-gram memory mode)"
+                        ),
+                        "vs_baseline": round(
+                            tflops / (TARGET_FRACTION * PEAK_F32_TFLOPS), 4
+                        ),
+                    }
+                except Exception as exc:
+                    rec = {
+                        "metric": f"exact_gp_nlml_n{n_big}_right_fused_error",
+                        "value": 0.0,
+                        "unit": str(exc)[:200],
+                    }
+                print(json.dumps(rec), file=sys.stderr, flush=True)
+                out.append(rec)
     return out
 
 

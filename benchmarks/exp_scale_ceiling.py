@@ -11,8 +11,14 @@ experiment finishes the job on the real chip:
      the genuine OOM point (49152 measured 14.5 GB-class and ran).
   2. CHOLESKY_ALGORITHM="right_fused" (lazy gram columns — the memory-
      lean mode that LOST the speed A/B at N=28672 by 14%,
-     benchmarks/FUSED_OVERLAP.json): peak ~ 2*N^2 bytes, so the ceiling
-     should extend to N~73728 (10.9 GB) at the lazy path's lower rate.
+     benchmarks/FUSED_OVERLAP.json): with no standalone N^2 covariance
+     write, XLA's buffer assignment schedules the whole NLML in FAR less
+     than the naive 2*N^2-byte triangle estimate — measured compiled
+     stats at N=102400: 12.99 GB temps + 1.68 GB program, peak-liveness
+     12.25 GB (AOT memory_analysis, this script's --mem flag).  Measured
+     ladder: 85.9 TF/s @57344 rising to ~95.5 @98304-102400 (the serial
+     panel fraction amortizes with N) — the N=100k BASELINE.md north-star
+     size runs on ONE v5e chip at 3.75 s/eval.
 
 Each size records TF/s + the NLML value (so a NaN cliff cannot hide) or
 the failure string.  Reference capability matched: the exact-GP fit at
@@ -123,7 +129,51 @@ def measure(n, algorithm):
         config.CHOLESKY_ALGORITHM = prev_alg
 
 
+def memory_probe(n, algorithm):
+    """AOT-compile the NLML at (n, algorithm) and print the compiled
+    memory statistics — how the N=102400 program fits a 16 GB chip."""
+    prev_alg = config.CHOLESKY_ALGORITHM
+    config.CHOLESKY_ALGORITHM = algorithm
+    try:
+        model, data = make_problem(n)
+
+        @jax.jit
+        def nlml_step(model, data, prev):
+            m = model.set_param_value(
+                "squared_exponential_length_scale",
+                jnp.float32(0.5) + 1e-30 * prev,
+            )
+            return -m.log_likelihood(data)
+
+        t0 = time.perf_counter()
+        compiled = nlml_step.lower(model, data, jnp.float32(0.0)).compile()
+        ma = compiled.memory_analysis()
+        print(
+            json.dumps(
+                {
+                    "n": n,
+                    "algorithm": algorithm,
+                    "compile_s": round(time.perf_counter() - t0, 1),
+                    "temp_gb": round(ma.temp_size_in_bytes / 1e9, 3),
+                    "code_gb": round(
+                        ma.generated_code_size_in_bytes / 1e9, 3
+                    ),
+                    "args_gb": round(ma.argument_size_in_bytes / 1e9, 3),
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        config.CHOLESKY_ALGORITHM = prev_alg
+
+
 def main():
+    import sys
+
+    if "--mem" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--mem") + 1])
+        memory_probe(n, "right_fused")
+        return
     t0 = time.perf_counter()
     z = jnp.ones((256, 256), jnp.float32)
     float((z @ z)[0, 0])
@@ -142,7 +192,18 @@ def main():
 
     # 2) lazy-gram mode: resume past the default ceiling
     ceiling_fused = None
-    for n in (57344, 65536, 73728):
+    for n in (
+        57344,
+        65536,
+        73728,
+        81920,
+        90112,
+        98304,
+        102400,
+        110592,
+        114688,
+        122880,  # measured first failure of the lazy-gram mode
+    ):
         if ceiling_default is not None and n < ceiling_default:
             continue
         rec = measure(n, "right_fused")
