@@ -60,6 +60,16 @@ DW_DOT_ALGORITHM: str = "x6"
 # "gram/panel overlap" lever on the loop order that wins on TPU.
 CHOLESKY_ALGORITHM: str = "right"
 
+# At and above this N, a GP log_likelihood whose kernel matches the fused
+# pattern auto-upgrades "right" to "right_fused": the materialized
+# covariance path's first measured OOM on a 16 GB v5e is N=57344, while
+# the lazy-gram loop runs to N=114688 (95.5 TF/s at N=102400; both
+# ceilings recorded in benchmarks/SCALE_CEILING.json).  Below the
+# threshold the materialized path is ~14% faster, so the upgrade only
+# engages where the default would die.  Set to 0 to disable (never
+# auto-upgrade) or lower it to force the memory-lean mode earlier.
+CHOLESKY_FUSED_MIN_N: int = 57344
+
 # Store factored column panels at bf16 for the trailing-update re-reads
 # (right-looking cols layout only).  Numerically ~a wash on TPU — the
 # default f32 GEMM already rounds inputs to one bf16 pass on the MXU — but

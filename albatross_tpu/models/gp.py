@@ -405,8 +405,20 @@ class GaussianProcess(ModelBase):
         )
         from .. import config
 
+        # memory auto-upgrade: the materialized-covariance path's first
+        # measured OOM on a 16 GB chip is N=57344, while the lazy-gram
+        # right_fused loop runs past N=100k (SCALE_CEILING.json) — so at
+        # CHOLESKY_FUSED_MIN_N and above, a default-config log_likelihood
+        # switches loop order instead of dying.
+        algorithm = config.CHOLESKY_ALGORITHM
         if (
-            config.CHOLESKY_ALGORITHM in ("left", "right_fused")
+            algorithm == "right"
+            and config.CHOLESKY_FUSED_MIN_N
+            and zero_mean.shape[0] >= config.CHOLESKY_FUSED_MIN_N
+        ):
+            algorithm = "right_fused"
+        if (
+            algorithm in ("left", "right_fused")
             and config.CHOLESKY_PRECISION != "double_word"
             and not config.NLML_COMPENSATED
             and not self.safe_factorization
@@ -425,7 +437,7 @@ class GaussianProcess(ModelBase):
                     jnp.asarray(diag_add),
                     zero_mean,
                     profile=profile,
-                    algorithm=config.CHOLESKY_ALGORITHM,
+                    algorithm=algorithm,
                     panel_precision=config.CHOLESKY_PRECISION,
                     trailing_precision=trailing,
                     panel_factorizer=config.PANEL_FACTORIZER,

@@ -337,6 +337,46 @@ def test_right_fused_gram_gp_equivalence(rng):
         )
 
 
+def test_fused_min_n_auto_upgrade(rng, monkeypatch):
+    """config.CHOLESKY_FUSED_MIN_N auto-upgrades the default "right"
+    algorithm to the lazy-gram "right_fused" loop at large N — the mode
+    that extends the single-chip ceiling past N=100k
+    (benchmarks/SCALE_CEILING.json) — and the upgraded path must (a)
+    actually engage and (b) match the materialized NLML."""
+    import albatross_tpu as ab
+    from albatross_tpu import config
+    from albatross_tpu.models import gp as gp_mod
+
+    n = 3072
+    x = jnp.asarray(np.sort(rng.uniform(0, 100, n)))
+    y = jnp.sin(0.3 * x) + 0.1 * jnp.asarray(rng.standard_normal(n))
+    data = ab.RegressionDataset.create(x, y)
+    m = ab.gp_from_covariance(
+        ab.SquaredExponential(5.0, 1.0)
+        + ab.measurement_only(ab.IndependentNoise(0.1, assume_unique=True)),
+        jitter=1e-6,
+    )
+    calls = []
+    real = gp_mod._fused_gram_nlml
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("algorithm"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(gp_mod, "_fused_gram_nlml", spy)
+    prev = config.CHOLESKY_FUSED_MIN_N
+    try:
+        config.CHOLESKY_FUSED_MIN_N = 0  # disabled: materialized path
+        ll_ref = float(m.log_likelihood(data))
+        assert calls == []
+        config.CHOLESKY_FUSED_MIN_N = n  # threshold == n: engages
+        ll_up = float(m.log_likelihood(data))
+        assert calls == ["right_fused"]
+    finally:
+        config.CHOLESKY_FUSED_MIN_N = prev
+    assert ll_up == pytest.approx(ll_ref, rel=1e-10)
+
+
 def test_trailing_bf16_mode(rng):
     """trailing_precision="bf16" stores factored panels at bf16 for the
     trailing re-reads: f32 results stay close (the mode exists to halve
