@@ -68,7 +68,13 @@ def _measure_nlml(n: int, r: int, algorithm: str = "right"):
     data = ab.RegressionDataset.create(x, y)
 
     prev_alg = _cfg.CHOLESKY_ALGORITHM
+    prev_min = _cfg.CHOLESKY_FUSED_MIN_N
     _cfg.CHOLESKY_ALGORITHM = algorithm
+    # the algorithm is the thing being measured: disable the big-N
+    # auto-upgrade so "right" really is the materialized path (otherwise
+    # the ladder's N>=57344 rows would silently run right_fused and the
+    # ceiling detection would be defeated)
+    _cfg.CHOLESKY_FUSED_MIN_N = 0
     try:
         # fresh jit per call: the trace reads the algorithm knob eagerly
         # and threads it as a static arg into the inner program
@@ -103,6 +109,7 @@ def _measure_nlml(n: int, r: int, algorithm: str = "right"):
         return best / r
     finally:
         _cfg.CHOLESKY_ALGORITHM = prev_alg
+        _cfg.CHOLESKY_FUSED_MIN_N = prev_min
 
 
 def main() -> int:
@@ -577,7 +584,9 @@ def _extra_benchmarks():
             # BASELINE.md north-star size on ONE chip (ladder + compiled
             # memory stats: benchmarks/SCALE_CEILING.json)
             n_big = int(os.environ.get("ALBATROSS_BENCH_SCALE_100K", "102400"))
-            if n_big:
+            # a capped ladder (ALBATROSS_BENCH_SCALE_MAX below the full
+            # walk) means "short run" — skip the longest compile too
+            if n_big and max_n >= 57344:
                 try:
                     per_eval = _measure_nlml(n_big, 2, algorithm="right_fused")
                     tflops = nlml_flops(n_big) / per_eval / 1e12

@@ -27,9 +27,11 @@ N=100k BASELINE.md north star is a multi-chip (2-D tile-sharded) target
 — this artifact documents where ONE chip tops out and which knob buys
 the last ~50% of single-chip N.
 
-Run ON TPU from the repo root (no timeout-kill — compiles can be slow):
+Run ON TPU from the repo root (no timeout-kill — compiles can be slow);
+the full artifact is the ladder walk plus the memory probe appended:
     python -m benchmarks.exp_scale_ceiling
-Writes benchmarks/SCALE_CEILING.json.
+    python -m benchmarks.exp_scale_ceiling --mem 102400
+Writes (then appends to) benchmarks/SCALE_CEILING.json.
 """
 
 import json
@@ -67,7 +69,12 @@ def make_problem(n):
 def measure(n, algorithm):
     """One (size, algorithm) point: compile + R-chained timed evals."""
     prev_alg = config.CHOLESKY_ALGORITHM
+    prev_min = config.CHOLESKY_FUSED_MIN_N
     config.CHOLESKY_ALGORITHM = algorithm
+    # the algorithm IS the experiment variable: disable the big-N
+    # auto-upgrade so "right" at n >= CHOLESKY_FUSED_MIN_N really
+    # measures the materialized path (and really OOMs at its ceiling)
+    config.CHOLESKY_FUSED_MIN_N = 0
     try:
         model, data = make_problem(n)
 
@@ -127,13 +134,18 @@ def measure(n, algorithm):
         return rec
     finally:
         config.CHOLESKY_ALGORITHM = prev_alg
+        config.CHOLESKY_FUSED_MIN_N = prev_min
 
 
 def memory_probe(n, algorithm):
-    """AOT-compile the NLML at (n, algorithm) and print the compiled
-    memory statistics — how the N=102400 program fits a 16 GB chip."""
+    """AOT-compile the NLML at (n, algorithm), print the compiled memory
+    statistics — how the N=102400 program fits a 16 GB chip — and append
+    the record to SCALE_CEILING.json (so the artifact the docs cite stays
+    reproducible from this script)."""
     prev_alg = config.CHOLESKY_ALGORITHM
+    prev_min = config.CHOLESKY_FUSED_MIN_N
     config.CHOLESKY_ALGORITHM = algorithm
+    config.CHOLESKY_FUSED_MIN_N = 0
     try:
         model, data = make_problem(n)
 
@@ -148,23 +160,31 @@ def memory_probe(n, algorithm):
         t0 = time.perf_counter()
         compiled = nlml_step.lower(model, data, jnp.float32(0.0)).compile()
         ma = compiled.memory_analysis()
-        print(
-            json.dumps(
-                {
-                    "n": n,
-                    "algorithm": algorithm,
-                    "compile_s": round(time.perf_counter() - t0, 1),
-                    "temp_gb": round(ma.temp_size_in_bytes / 1e9, 3),
-                    "code_gb": round(
-                        ma.generated_code_size_in_bytes / 1e9, 3
-                    ),
-                    "args_gb": round(ma.argument_size_in_bytes / 1e9, 3),
-                }
+        rec = {
+            "n": n,
+            "algorithm": algorithm,
+            "probe": "aot_memory_analysis",
+            "compile_s": round(time.perf_counter() - t0, 1),
+            "temp_gb": round(ma.temp_size_in_bytes / 1e9, 3),
+            "code_gb": round(ma.generated_code_size_in_bytes / 1e9, 3),
+            "args_gb": round(ma.argument_size_in_bytes / 1e9, 3),
+            "host_temp_gb": round(
+                getattr(ma, "host_temp_size_in_bytes", 0) / 1e9, 3
             ),
-            flush=True,
-        )
+        }
+        print(json.dumps(rec), flush=True)
+        out = os.path.join(os.path.dirname(__file__), "SCALE_CEILING.json")
+        try:
+            data_list = json.load(open(out))
+        except (OSError, ValueError):
+            data_list = []
+        data_list.append(rec)
+        with open(out, "w") as fh:
+            json.dump(data_list, fh, indent=1)
+        print(f"appended to {out}", flush=True)
     finally:
         config.CHOLESKY_ALGORITHM = prev_alg
+        config.CHOLESKY_FUSED_MIN_N = prev_min
 
 
 def main():
@@ -179,6 +199,12 @@ def main():
     float((z @ z)[0, 0])
     probe = time.perf_counter() - t0
     print(f"tunnel probe: {probe:.1f}s", flush=True)
+    if probe > 30.0:
+        # CLAUDE.md rule: a slow small-matmul probe means the remote
+        # compile service is backed up — do NOT stack 90-300 s compiles
+        # on it (and do NOT overwrite the artifact with a sick-tunnel run)
+        print("tunnel unhealthy (>30 s probe) — walk away and retry later")
+        return
     recs = [{"probe_s": round(probe, 1)}]
 
     # 1) default path: first size past the known-good 49152
